@@ -1,0 +1,113 @@
+"""Headline benchmark: Llama-3.2-1B INT4(g=64) batch-1 greedy decode
+tokens/sec on one chip (charter config #1, BASELINE.md targets).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+vs_baseline = fraction of the per-chip HBM roofline (bytes-per-token model:
+weights+scales read once per decoded token) — target >= 0.9.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v4": 1228.0, "v5p": 2765.0}
+
+
+def llama32_1b_config():
+    from pie_tpu.models.llama import LlamaConfig
+
+    return LlamaConfig(
+        model_type="llama",
+        hidden_size=2048,
+        intermediate_size=8192,
+        num_hidden_layers=16,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=64,
+        vocab_size=128256,
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 32.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+        tie_word_embeddings=True,
+    )
+
+
+def quantized_bytes(params) -> int:
+    """HBM bytes streamed per decoded token (weights + scales/biases +
+    embedding row ~0)."""
+    from pie_tpu.ops.quant import QuantizedTensor
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    ):
+        if isinstance(leaf, QuantizedTensor):
+            total += leaf.packed.size * 4
+            total += leaf.scales.size * leaf.scales.dtype.itemsize
+            total += leaf.biases.size * leaf.biases.dtype.itemsize
+        else:
+            pass
+    return total
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    from pie_tpu.engine import InferenceEngine
+    from pie_tpu.models.llama import LlamaModel
+
+    if on_tpu:
+        config = llama32_1b_config()
+        steps, chunk = 128, 32
+    else:  # smoke-test geometry for CPU runs
+        from pie_tpu.models.llama import LlamaConfig
+
+        config = LlamaConfig(
+            hidden_size=512, intermediate_size=1024, num_hidden_layers=2,
+            num_attention_heads=8, num_key_value_heads=4, vocab_size=2048,
+            tie_word_embeddings=True,
+        )
+        steps, chunk = 16, 8
+
+    model = LlamaModel(config)
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = model.quantize_params(params, group_size=64, bits=4)
+    # tied embedding stays bf16; decode still reads it for the lm head —
+    # count it in the roofline model
+    wbytes = quantized_bytes(params)
+    wbytes += params["embed"].size * 2  # tied lm head read per token
+
+    engine = InferenceEngine(
+        model=model, params=params, max_seq_len=512, decode_chunk=chunk,
+    )
+
+    prompt = list(range(1, 65))
+    # warmup (compiles prefill + decode)
+    engine.generate(prompt, max_completion_tokens=chunk + 1, temperature=0.0)
+
+    t0 = time.perf_counter()
+    res = engine.generate(prompt, max_completion_tokens=steps, temperature=0.0)
+    dt = time.perf_counter() - t0
+    toks = res.completion_tokens
+    tok_s = toks / dt
+
+    gen = "v5e"
+    roofline = HBM_GBPS.get(gen, 819.0) * 1e9 / wbytes
+    out = {
+        "metric": "llama3.2-1b_int4g64_b1_decode",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

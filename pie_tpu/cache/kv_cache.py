@@ -1,0 +1,186 @@
+"""Fixed-capacity KV cache containers (functional pytrees).
+
+Reference parity (re-designed for XLA static shapes):
+- KVCache: cache/kv_cache/cache.py:7-148 (step-grown contiguous cache) ->
+  fixed-capacity [L, B, S, H, D] buffers, in-place via buffer donation.
+- RotatingKVCache: cache/kv_cache/rotating.py:6-284 (sliding window with
+  in-place rotate) -> same buffers with ``slot = position % capacity``
+  writes and position-based masks; no data movement on rotation.
+- QuantizedKVCache: cache/kv_cache/quantized.py:7-206 (group-quantized
+  storage) -> int8 storage with per-(token, head) scales, matching the
+  native core's page layout (reference include/engine/page.hpp:104-117:
+  int8 KV + per-head scales; channel-wise noted as TODO there).
+- save/load: cache/kv_cache/__init__.py:163-210 safetensors persistence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("k", "v", "slot_positions", "length"),
+    meta_fields=("window",),
+)
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    """Contiguous (window=None) or rotating (window=capacity) KV cache.
+
+    k, v: [L, B, S, Hkv, Dh]
+    slot_positions: [B, S] global position held by each slot (-1 = empty)
+    length: [B] number of tokens written (NOT clamped to capacity)
+    window: sliding-window size; None = full attention
+    """
+
+    k: jax.Array
+    v: jax.Array
+    slot_positions: jax.Array
+    length: jax.Array
+    window: Optional[int] = None
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        batch: int,
+        capacity: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+        window: Optional[int] = None,
+    ) -> "KVCache":
+        shape = (num_layers, batch, capacity, num_kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            slot_positions=jnp.full((batch, capacity), -1, jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
+            window=window,
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    def write_slot(self, positions: jax.Array) -> jax.Array:
+        """Slot index for a global position (identity, or modulo when
+        rotating)."""
+        if self.window is None:
+            return positions
+        return positions % self.capacity
+
+    def advance(self, first_pos: jax.Array, num_tokens: int) -> "KVCache":
+        """Return cache metadata updated for ``num_tokens`` written starting
+        at per-sequence global position ``first_pos`` [B]. (k/v arrays are
+        updated inside the model forward; this updates bookkeeping.)"""
+        b, s = self.slot_positions.shape
+        new_pos = first_pos[:, None] + jnp.arange(num_tokens)[None, :]
+        slots = self.write_slot(new_pos)
+        slot_positions = self.slot_positions.at[
+            jnp.arange(b)[:, None], slots
+        ].set(new_pos)
+        return dataclasses.replace(
+            self,
+            slot_positions=slot_positions,
+            length=jnp.maximum(self.length, first_pos + num_tokens),
+        )
+
+    def trim_to(self, length: jax.Array) -> "KVCache":
+        """Logically trim each sequence to ``length`` tokens (prefix reuse:
+        reference ReusableKVCache.reuse, cache/kv_cache/reusable.py:8-254 —
+        here a metadata-only operation)."""
+        b, s = self.slot_positions.shape
+        keep = self.slot_positions < length[:, None]
+        return dataclasses.replace(
+            self,
+            slot_positions=jnp.where(keep, self.slot_positions, -1),
+            length=jnp.minimum(self.length, length),
+        )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("k_q", "k_scale", "v_q", "v_scale", "slot_positions", "length"),
+    meta_fields=("window",),
+)
+@dataclasses.dataclass(frozen=True)
+class QuantizedKVCache:
+    """INT8 KV cache with per-(token, head) scales (symmetric).
+
+    k_q, v_q: [L, B, S, Hkv, Dh] int8; k_scale, v_scale: [L, B, S, Hkv, 1] f32.
+    """
+
+    k_q: jax.Array
+    k_scale: jax.Array
+    v_q: jax.Array
+    v_scale: jax.Array
+    slot_positions: jax.Array
+    length: jax.Array
+    window: Optional[int] = None
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        batch: int,
+        capacity: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+        window: Optional[int] = None,
+    ) -> "QuantizedKVCache":
+        shape = (num_layers, batch, capacity, num_kv_heads, head_dim)
+        sshape = (num_layers, batch, capacity, num_kv_heads, 1)
+        return cls(
+            k_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_q=jnp.zeros(shape, jnp.int8),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+            slot_positions=jnp.full((batch, capacity), -1, jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
+            window=window,
+        )
+
+    capacity = KVCache.capacity
+    write_slot = KVCache.write_slot
+    advance = KVCache.advance
+    trim_to = KVCache.trim_to
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization per (token, head): x [B, T, H, D] ->
+    (q int8, scale f32 [B, T, H, 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def make_kv_cache(
+    num_layers: int,
+    batch: int,
+    capacity: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+    window: Optional[int] = None,
+    quantized: bool = False,
+):
+    """Factory mirroring reference make_kv_cache (cache/kv_cache/__init__.py:
+    10-62): window -> rotating behavior; quantized -> int8 storage."""
+    cls = QuantizedKVCache if quantized else KVCache
+    return cls.create(
+        num_layers, batch, capacity, num_kv_heads, head_dim, dtype, window
+    )

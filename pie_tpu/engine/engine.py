@@ -1,0 +1,405 @@
+"""InferenceEngine: host-side orchestration around EngineCore.
+
+Reference parity: engine/inference_engine.py:26-335 (prepare -> generate loop
+-> result assembly with finish_reason/usage/logprobs). The device loop is
+chunked (EngineCore) so the host only syncs every ``decode_chunk`` tokens;
+stop-token/ max-token bookkeeping happens between chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pie_tpu.engine.core import PAD_TOKEN, DecodeState, EngineCore, PenaltyParams
+from pie_tpu.ops.sampling import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+class InferenceError(Exception):
+    """Engine-level error surfaced to API handlers (reference
+    server/app.py:44-55 exception mapping)."""
+
+
+@dataclasses.dataclass
+class TokenLogprob:
+    token_id: int
+    logprob: float
+    top: list[tuple[int, float]]
+
+
+@dataclasses.dataclass
+class StreamedToken:
+    token_id: int
+    logprob: Optional[TokenLogprob] = None
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: list[int]
+    finish_reason: str  # "stop" | "length"
+    prompt_tokens: int
+    completion_tokens: int
+    logprobs: Optional[list[TokenLogprob]] = None
+    text: Optional[str] = None
+
+
+def _bucket(n: int, buckets=PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise InferenceError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
+class InferenceEngine:
+    """Single-stream engine (one request at a time, batch lanes reserved for
+    the continuous-batching scheduler which drives EngineCore directly)."""
+
+    def __init__(
+        self,
+        model=None,
+        params=None,
+        tokenizer=None,
+        model_path: Optional[str] = None,
+        max_seq_len: int = 2048,
+        kv_dtype=jnp.bfloat16,
+        kv_quantized: bool = False,
+        decode_chunk: int = 16,
+        logprobs_k: int = 8,
+        seed: int = 0,
+    ):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model+params or model_path")
+            from pie_tpu.models.loader import load_model
+
+            model, params = load_model(model_path)
+            if tokenizer is None:
+                from pie_tpu.tokenizer import load_tokenizer
+
+                tokenizer = load_tokenizer(model_path)
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.decode_chunk = decode_chunk
+        self.core = EngineCore(
+            model,
+            params,
+            batch_size=1,
+            max_seq_len=max_seq_len,
+            kv_dtype=kv_dtype,
+            kv_quantized=kv_quantized,
+            logprobs_k=logprobs_k,
+        )
+        self.state = self.core.new_state(seed)
+        self._empty_bias = (
+            jnp.full((1, 0), PAD_TOKEN, jnp.int32),
+            jnp.zeros((1, 0), jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _sampling(self, kw: dict[str, Any]) -> SamplingParams:
+        return SamplingParams.make(
+            1,
+            temperature=float(kw.get("temperature", 1.0)),
+            top_p=float(kw.get("top_p", 1.0)),
+            min_p=float(kw.get("min_p", 0.0)),
+            top_k=int(kw.get("top_k", -1)),
+        )
+
+    def _penalties(self, kw: dict[str, Any]) -> PenaltyParams:
+        return PenaltyParams.make(
+            1,
+            repetition=float(kw.get("repetition_penalty", 1.0)),
+            presence=float(kw.get("presence_penalty", 0.0)),
+            frequency=float(kw.get("frequency_penalty", 0.0)),
+        )
+
+    def _bias(self, kw) -> tuple[jax.Array, jax.Array]:
+        logit_bias = kw.get("logit_bias")
+        if not logit_bias:
+            return self._empty_bias
+        n = max(8, len(logit_bias))
+        ids = np.full((1, n), PAD_TOKEN, np.int32)
+        vals = np.zeros((1, n), np.float32)
+        for i, (tid, b) in enumerate(sorted(logit_bias.items())):
+            ids[0, i] = int(tid)
+            vals[0, i] = float(b)
+        return jnp.asarray(ids), jnp.asarray(vals)
+
+    # ------------------------------------------------------------------
+
+    def generate_stream(
+        self,
+        prompt_ids: Sequence[int],
+        max_completion_tokens: int = 256,
+        stop_token_ids: Sequence[int] = (),
+        logprobs: bool = False,
+        **kwargs,
+    ) -> Iterator[StreamedToken]:
+        """Yield tokens one at a time; raises StopIteration with the
+        GenerationResult as value (reference generate() semantics,
+        engine/inference_engine.py:175-226)."""
+        result = yield from self._run(
+            list(prompt_ids), max_completion_tokens, list(stop_token_ids),
+            logprobs, kwargs,
+        )
+        return result
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_completion_tokens: int = 256,
+        stop_token_ids: Sequence[int] = (),
+        logprobs: bool = False,
+        **kwargs,
+    ) -> GenerationResult:
+        gen = self.generate_stream(
+            prompt_ids, max_completion_tokens, stop_token_ids, logprobs,
+            **kwargs,
+        )
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value
+
+    # ------------------------------------------------------------------
+
+    def _run(self, prompt_ids, max_tokens, stop_token_ids, logprobs, kw):
+        if not prompt_ids:
+            raise InferenceError("empty prompt")
+        plen = len(prompt_ids)
+        if plen + max_tokens > self.core.max_seq_len:
+            max_tokens = max(0, self.core.max_seq_len - plen)
+        bucket = _bucket(plen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = prompt_ids
+        sampling = self._sampling(kw)
+        penalties = self._penalties(kw)
+        bias_ids, bias_vals = self._bias(kw)
+        stop = jnp.asarray(
+            np.asarray(list(stop_token_ids) or [PAD_TOKEN], np.int32)
+        )
+
+        state, token, aux = self.core._prefill(
+            self.params,
+            self.state,
+            jnp.asarray(ids),
+            jnp.full((1,), plen, jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            sampling,
+            penalties,
+            bias_ids,
+            bias_vals,
+            return_logprobs=logprobs,
+        )
+
+        out_tokens: list[int] = []
+        out_logprobs: list[TokenLogprob] = []
+        finish = "length"
+
+        def emit(tid, chosen=None, tv=None, ti=None):
+            out_tokens.append(tid)
+            tl = None
+            if logprobs and chosen is not None:
+                tl = TokenLogprob(
+                    tid,
+                    float(chosen),
+                    list(
+                        zip(
+                            np.asarray(ti).tolist(),
+                            np.asarray(tv, np.float64).tolist(),
+                        )
+                    ),
+                )
+                out_logprobs.append(tl)
+            return StreamedToken(tid, tl)
+
+        first = int(token[0])
+        if logprobs and aux is not None:
+            chosen, tv, ti = aux  # [B], [B, k], [B, k]
+            yield emit(first, chosen[0], tv[0], ti[0])
+        else:
+            yield emit(first)
+        if first in stop_token_ids:
+            finish = "stop"
+            self.state = state
+            return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
+        if max_tokens <= 1:
+            self.state = state
+            return self._result(prompt_ids, out_tokens, out_logprobs, "length", logprobs)
+
+        produced = 1
+        while produced < max_tokens:
+            steps = min(self.decode_chunk, max_tokens - produced)
+            state, outs = self.core._decode(
+                self.params,
+                state,
+                sampling,
+                penalties,
+                bias_ids,
+                bias_vals,
+                stop,
+                num_steps=steps,
+                return_logprobs=logprobs,
+            )
+            emitted = np.asarray(outs[0])[:, 0]  # [steps]
+            if logprobs:
+                chosen = np.asarray(outs[1])[:, 0]
+                tv = np.asarray(outs[2])[:, 0]
+                ti = np.asarray(outs[3])[:, 0]
+            stopped = False
+            for s, tid in enumerate(emitted.tolist()):
+                if tid == PAD_TOKEN:
+                    stopped = True
+                    break
+                if logprobs:
+                    yield emit(int(tid), chosen[s], tv[s], ti[s])
+                else:
+                    yield emit(int(tid))
+                produced += 1
+                if int(tid) in stop_token_ids:
+                    stopped = True
+                    break
+            if stopped:
+                finish = "stop"
+                break
+        self.state = state
+        return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
+
+    def _result(self, prompt_ids, out_tokens, out_logprobs, finish, logprobs):
+        return GenerationResult(
+            token_ids=out_tokens,
+            finish_reason=finish,
+            prompt_tokens=len(prompt_ids),
+            completion_tokens=len(out_tokens),
+            logprobs=out_logprobs if logprobs else None,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Chat-level API (reference InferenceEngine.__call__/generate_interaction,
+# engine/inference_engine.py:96-173)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ChatDelta:
+    """One streamed chat event."""
+
+    text: str = ""
+    logprob: Optional[TokenLogprob] = None
+
+
+def _chat_run(
+    engine: "InferenceEngine",
+    interactions,
+    tools=None,
+    response_format=None,
+    stop=None,
+    max_completion_tokens: int = 1024,
+    logprobs: bool = False,
+    **sampling_kwargs,
+):
+    """Generator: yields ChatDelta, returns the assistant Interaction."""
+    from pie_tpu.engine.text import (
+        IncrementalDecoder,
+        StopSequenceMatcher,
+        parse_tool_calls,
+    )
+    from pie_tpu.interaction import Content, Interaction, InteractionRole
+
+    tok = engine.tokenizer
+    if tok is None:
+        raise InferenceError("chat API requires a tokenizer")
+    prompt_ids = tok.apply_chat_template(
+        interactions, add_generation_prompt=True, tools=tools
+    )
+    stop_strings = [stop] if isinstance(stop, str) else list(stop or [])
+    dec = IncrementalDecoder(tok)
+    matcher = StopSequenceMatcher(stop_strings)
+
+    gen = engine.generate_stream(
+        prompt_ids,
+        max_completion_tokens=max_completion_tokens,
+        stop_token_ids=tok.stop_tokens,
+        logprobs=logprobs,
+        **sampling_kwargs,
+    )
+    result = None
+    lps = []
+    while True:
+        try:
+            st = next(gen)
+        except StopIteration as e:
+            result = e.value
+            break
+        if st.token_id in tok.stop_tokens:
+            continue  # don't surface control tokens as text
+        piece = dec.push(st.token_id)
+        if st.logprob:
+            lps.append(st.logprob)
+        out = matcher.push(piece)
+        if out or st.logprob:
+            yield ChatDelta(text=out, logprob=st.logprob)
+        if matcher.stopped:
+            gen.close()
+            result = GenerationResult(
+                token_ids=[], finish_reason="stop",
+                prompt_tokens=len(prompt_ids), completion_tokens=0,
+            )
+            # approximate usage from what we actually produced
+            result.completion_tokens = len(dec.ids)
+            break
+
+    text = dec.text
+    if stop_strings:
+        for s in stop_strings:
+            i = text.find(s)
+            if i != -1:
+                text = text[:i]
+                break
+    finish = result.finish_reason
+    content = []
+    tool_calls = parse_tool_calls(text) if tools else None
+    if tool_calls:
+        for c in tool_calls:
+            content.append(Content.tool_call_content(c["name"], c["arguments"]))
+        finish = "tool_calls"
+    else:
+        content.append(Content.text_content(text))
+    inter = Interaction(
+        role=InteractionRole.ASSISTANT,
+        content=content,
+        metadata={
+            "finish_reason": finish,
+            "prompt_tokens": result.prompt_tokens,
+            "completion_tokens": result.completion_tokens,
+            "logprobs": lps if logprobs else None,
+            "token_ids": result.token_ids,
+        },
+    )
+    return inter
+
+
+def _chat(engine, interactions, **kw):
+    gen = _chat_run(engine, interactions, **kw)
+    while True:
+        try:
+            next(gen)
+        except StopIteration as e:
+            return e.value
+
+
+InferenceEngine.chat_stream = _chat_run
+InferenceEngine.chat = _chat

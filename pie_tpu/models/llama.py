@@ -1,0 +1,325 @@
+"""Llama-3 family decoder (also serves mistral / qwen2 via config flags).
+
+Reference parity: models/llama/language.py:13-223 (GQA attention with
+Llama3RoPE, SiLU-gated MLP, RMSNorm, tied/untied lm_head) — re-designed
+TPU-first:
+
+- parameters are a plain pytree with all decoder layers STACKED on a leading
+  axis; the forward pass is a single ``lax.scan`` over layers (one trace, fast
+  compile, XLA pipelines layer-by-layer).
+- the KV cache is a fixed-capacity [L, B, S, Hkv, Dh] buffer updated with
+  per-sequence dynamic slices (donated at the jit boundary for in-place
+  updates) instead of the reference's growable per-request cache objects.
+- linear layers are either dense [K, N] arrays or group-wise quantized
+  :class:`QuantizedTensor` (fused dequant+matmul Pallas kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pie_tpu.cache.kv_cache import (
+    KVCache,
+    QuantizedKVCache,
+    dequantize_kv,
+    quantize_kv,
+)
+from pie_tpu.models.config import BaseConfig, _filter_kwargs
+from pie_tpu.models.registry import register_model
+from pie_tpu.ops.attention import attention_mask, sdpa
+from pie_tpu.ops.quant import QuantizedTensor, quantized_matmul
+from pie_tpu.ops.rope import RopeScalingConfig, apply_rope, make_inv_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig(BaseConfig):
+    model_type: str = "llama"
+    hidden_size: int = 2048
+    num_hidden_layers: int = 16
+    intermediate_size: int = 8192
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    vocab_size: int = 128256
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    max_position_embeddings: int = 131072
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "LlamaConfig":
+        return cls(**_filter_kwargs(cls, d))
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+
+def linear(x: jax.Array, w, bias=None) -> jax.Array:
+    """Apply a (possibly quantized) linear layer; w is [K, N] or QuantizedTensor."""
+    if isinstance(w, QuantizedTensor):
+        y = quantized_matmul(x, w)
+    else:
+        y = jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv * w.astype(jnp.float32)).astype(x.dtype)
+
+
+@register_model("llama")
+class LlamaModel:
+    """Functional Llama decoder. All state lives in the params pytree."""
+
+    def __init__(self, config: LlamaConfig):
+        self.config = config
+        self.inv_freq = jnp.asarray(
+            make_inv_freq(
+                config.resolved_head_dim,
+                config.rope_theta,
+                RopeScalingConfig.from_dict(config.rope_scaling),
+            )
+        )
+
+    # -- parameter construction ------------------------------------------
+
+    def init_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        """Random-init params (tests / synthetic benchmarks)."""
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.resolved_head_dim
+        hq, hkv, di = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.intermediate_size,
+        )
+        l = cfg.num_hidden_layers
+        keys = iter(jax.random.split(key, 16))
+
+        def w(key, *shape, scale=None):
+            scale = scale or (1.0 / np.sqrt(shape[-2]))
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+        params = {
+            "embed": w(next(keys), cfg.vocab_size, d, scale=0.02),
+            "layers": {
+                "wq": w(next(keys), l, d, hq * dh),
+                "wk": w(next(keys), l, d, hkv * dh),
+                "wv": w(next(keys), l, d, hkv * dh),
+                "wo": w(next(keys), l, hq * dh, d),
+                "wg": w(next(keys), l, d, di),
+                "wu": w(next(keys), l, d, di),
+                "wd": w(next(keys), l, di, d),
+                "ln1": jnp.ones((l, d), dtype),
+                "ln2": jnp.ones((l, d), dtype),
+            },
+            "norm": jnp.ones((d,), dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = w(next(keys), d, cfg.vocab_size, scale=0.02)
+        return params
+
+    # names of layer weights that are linear (quantizable); bias names too
+    LINEAR_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+    # HF checkpoint key mapping: our name -> HF per-layer suffix.
+    HF_LAYER_MAP = {
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "wg": "mlp.gate_proj.weight",
+        "wu": "mlp.up_proj.weight",
+        "wd": "mlp.down_proj.weight",
+        "ln1": "input_layernorm.weight",
+        "ln2": "post_attention_layernorm.weight",
+    }
+    HF_BIAS_MAP = {
+        "bq": "self_attn.q_proj.bias",
+        "bk": "self_attn.k_proj.bias",
+        "bv": "self_attn.v_proj.bias",
+    }
+    HF_PREFIX = "model.layers.{i}."
+    HF_TOP = {
+        "embed": "model.embed_tokens.weight",
+        "norm": "model.norm.weight",
+        "lm_head": "lm_head.weight",
+    }
+
+    def from_hf_state_dict(
+        self, weights: dict[str, np.ndarray], dtype=jnp.bfloat16
+    ) -> dict:
+        """Build params from an HF-style state dict (numpy arrays, [N, K]
+        linear layout). Reference parity: weight sanitization + key mapping
+        of models/utils.py:75-125 and models/llama/language.py:190-223."""
+        cfg = self.config
+        l = cfg.num_hidden_layers
+        layers: dict[str, list] = {}
+        use_bias = cfg.attention_bias and (
+            self.HF_PREFIX.format(i=0) + self.HF_BIAS_MAP["bq"]
+        ) in weights
+        lmap = dict(self.HF_LAYER_MAP)
+        bmap = dict(self.HF_BIAS_MAP) if use_bias else {}
+        for name, suffix in {**lmap, **bmap}.items():
+            mats = []
+            for i in range(l):
+                wkey = self.HF_PREFIX.format(i=i) + suffix
+                m = np.asarray(weights[wkey])
+                if name in self.LINEAR_KEYS:
+                    m = m.T  # HF [N, K] -> KN layout
+                mats.append(m)
+            layers[name] = jnp.asarray(np.stack(mats), dtype=dtype)
+        params = {
+            "embed": jnp.asarray(weights[self.HF_TOP["embed"]], dtype=dtype),
+            "layers": layers,
+            "norm": jnp.asarray(weights[self.HF_TOP["norm"]], dtype=dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = jnp.asarray(
+                np.asarray(weights[self.HF_TOP["lm_head"]]).T, dtype=dtype
+            )
+        return params
+
+    def quantize_params(
+        self, params: dict, group_size: int = 64, bits: int = 4
+    ) -> dict:
+        """Group-wise quantize every linear weight (reference
+        models/utils.py:95-111 ``nn.quantize`` hookup; predicate: last dim
+        divisible by group size — always true for llama dims)."""
+        from pie_tpu.ops.quant import quantize
+
+        out = dict(params)
+        layers = dict(params["layers"])
+
+        for name in self.LINEAR_KEYS:
+            w = layers[name]  # [L, K, N]
+            qts = [quantize(w[i], group_size, bits) for i in range(w.shape[0])]
+            layers[name] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *qts
+            )
+        out["layers"] = layers
+        if "lm_head" in params:
+            out["lm_head"] = quantize(params["lm_head"], group_size, bits)
+        return out
+
+    # -- forward ----------------------------------------------------------
+
+    def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
+        return params["embed"][input_ids]
+
+    def unembed(self, params: dict, h: jax.Array) -> jax.Array:
+        if "lm_head" in params:
+            return linear(h, params["lm_head"])
+        return jnp.einsum(
+            "btd,vd->btv",
+            h,
+            params["embed"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def __call__(
+        self,
+        params: dict,
+        input_ids: jax.Array,
+        cache,
+        positions: jax.Array,
+        inputs_embeds: Optional[jax.Array] = None,
+    ):
+        """Forward pass writing this chunk's K/V into a fixed-capacity cache.
+
+        input_ids: [B, T] (ignored when inputs_embeds given)
+        cache: KVCache or QuantizedKVCache, ALREADY ADVANCED for these
+               positions (cache.slot_positions includes the new tokens --
+               the engine calls cache.advance() before the model).
+        positions: [B, T] global positions of the input tokens
+        returns: (logits [B, T, V] f32, cache with updated k/v storage)
+        """
+        cfg = self.config
+        dh = cfg.resolved_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+        h = inputs_embeds if inputs_embeds is not None else self.embed(params, input_ids)
+        b, t = h.shape[0], h.shape[1]
+        quantized = isinstance(cache, QuantizedKVCache)
+        mask = attention_mask(positions, cache.slot_positions, cache.window)
+        write_slots = cache.write_slot(positions)  # [B, T]
+        batch_idx = jnp.arange(b)[:, None]
+        inv_freq = self.inv_freq
+        scale = dh**-0.5
+        eps = cfg.rms_norm_eps
+
+        def layer_fn(h, layer):
+            p = layer[0]
+            x = rms_norm(h, p["ln1"], eps)
+            q = linear(x, p["wq"], p.get("bq")).reshape(b, t, hq, dh)
+            k = linear(x, p["wk"], p.get("bk")).reshape(b, t, hkv, dh)
+            v = linear(x, p["wv"], p.get("bv")).reshape(b, t, hkv, dh)
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+
+            if quantized:
+                ckq, cks, cvq, cvs = layer[1:]
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                ckq = ckq.at[batch_idx, write_slots].set(kq)
+                cks = cks.at[batch_idx, write_slots].set(ks)
+                cvq = cvq.at[batch_idx, write_slots].set(vq)
+                cvs = cvs.at[batch_idx, write_slots].set(vs)
+                ck = dequantize_kv(ckq, cks, q.dtype)
+                cv = dequantize_kv(cvq, cvs, q.dtype)
+                new_layer_cache = (ckq, cks, cvq, cvs)
+            else:
+                ck, cv = layer[1:]
+                ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
+                cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
+                new_layer_cache = (ck, cv)
+
+            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+            h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
+
+            x = rms_norm(h, p["ln2"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            h = h + linear(jax.nn.silu(g) * u, p["wd"])
+            return h, new_layer_cache
+
+        if quantized:
+            xs = (params["layers"], cache.k_q, cache.k_scale, cache.v_q,
+                  cache.v_scale)
+        else:
+            xs = (params["layers"], cache.k, cache.v)
+        h, new_store = jax.lax.scan(layer_fn, h, xs)
+        if quantized:
+            cache = dataclasses.replace(
+                cache, k_q=new_store[0], k_scale=new_store[1],
+                v_q=new_store[2], v_scale=new_store[3],
+            )
+        else:
+            cache = dataclasses.replace(cache, k=new_store[0], v=new_store[1])
+        h = rms_norm(h, params["norm"], eps)
+        logits = self.unembed(params, h)
+        return logits.astype(jnp.float32), cache
+
+    def make_cache_shape(self, batch: int, max_len: int) -> tuple:
+        cfg = self.config
+        return (
+            cfg.num_hidden_layers,
+            batch,
+            max_len,
+            cfg.num_key_value_heads,
+            cfg.resolved_head_dim,
+        )

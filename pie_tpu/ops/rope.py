@@ -1,0 +1,87 @@
+"""Rotary position embeddings with Llama-3 frequency scaling.
+
+Reference parity: the Llama3RoPE frequency-rescaling math of
+models/llama/utils.py:26-50 and the RopeConfig surface of models/rope.py:5-58,
+re-done as pure JAX (cos/sin computed from positions on the fly — no tables,
+no gathers; XLA fuses this into the surrounding elementwise ops).
+
+Convention: split-half rotation (rotate_half), matching HF Llama weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScalingConfig:
+    """Pydantic-free twin of the reference's RopeConfig (models/rope.py:5-47)."""
+
+    rope_type: str = "default"
+    factor: float = 1.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+    @classmethod
+    def from_dict(cls, d: Optional[dict[str, Any]]) -> "RopeScalingConfig":
+        if not d:
+            return cls()
+        return cls(
+            rope_type=d.get("rope_type", d.get("type", "default")),
+            factor=float(d.get("factor", 1.0)),
+            low_freq_factor=float(d.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(d.get("high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                d.get("original_max_position_embeddings", 8192)
+            ),
+        )
+
+
+def make_inv_freq(
+    head_dim: int,
+    base: float = 10000.0,
+    scaling: Optional[RopeScalingConfig] = None,
+) -> np.ndarray:
+    """Compute inverse frequencies [head_dim // 2] (numpy — static, host)."""
+    inv_freq = 1.0 / (
+        base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    if scaling is not None and scaling.rope_type in ("llama3",):
+        # Llama-3 wavelength-dependent rescale (reference models/llama/utils.py:26-39)
+        low_wl = scaling.original_max_position_embeddings / scaling.low_freq_factor
+        high_wl = scaling.original_max_position_embeddings / scaling.high_freq_factor
+        wl = 2 * np.pi / inv_freq
+        smooth = (scaling.original_max_position_embeddings / wl - scaling.low_freq_factor) / (
+            scaling.high_freq_factor - scaling.low_freq_factor
+        )
+        smoothed = (1 - smooth) * inv_freq / scaling.factor + smooth * inv_freq
+        inv_freq = np.where(
+            wl > low_wl,
+            inv_freq / scaling.factor,
+            np.where(wl < high_wl, inv_freq, smoothed),
+        )
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(
+    x: jax.Array, positions: jax.Array, inv_freq: jax.Array
+) -> jax.Array:
+    """Rotate q or k.
+
+    x: [B, T, H, D]; positions: [B, T] int32; inv_freq: [D//2] f32.
+    Returns same shape/dtype as x.
+    """
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
+    cos = jnp.cos(freqs)[..., None, :]  # [B, T, 1, D/2]
+    sin = jnp.sin(freqs)[..., None, :]
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)

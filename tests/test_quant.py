@@ -1,0 +1,120 @@
+"""Quantization round-trip and fused matmul parity tests.
+
+Mirrors the reference's quantization contract (group-wise affine, packed
+uint32, scales+biases — reference cache/kv_cache/quantized.py:59-105) on the
+TPU-native KN layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pie_tpu.ops import quant
+from pie_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize,
+    quantize,
+    quantized_matmul,
+)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("group_size", [32, 64, 128])
+def test_roundtrip_error_bound(bits, group_size):
+    k, n = 512, 256
+    w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+    qt = quantize(w, group_size=group_size, bits=bits)
+    w2 = dequantize(qt, dtype=jnp.float32)
+    assert w2.shape == (k, n)
+    # max error bounded by half an LSB of the worst group range
+    grp = w.reshape(k // group_size, group_size, n)
+    step = (grp.max(1) - grp.min(1)) / (2**bits - 1)
+    err = jnp.abs(w - w2).reshape(k // group_size, group_size, n)
+    assert jnp.all(err <= jnp.repeat(step[:, None, :], group_size, 1) * 0.51)
+
+
+def test_pack_unpack_identity():
+    rng = np.random.default_rng(0)
+    for bits in (4, 8):
+        q = jnp.asarray(
+            rng.integers(0, 2**bits, size=(1024, 128)), dtype=jnp.int32
+        )
+        packed = quant.pack_codes(q, bits)
+        assert packed.dtype == jnp.uint32
+        assert packed.shape == (1024 // (32 // bits), 128)
+        q2 = quant.unpack_codes(packed, bits)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q2))
+
+
+def test_degenerate_group_exact():
+    w = jnp.ones((512, 128), jnp.float32) * 3.25
+    qt = quantize(w, 64, 4)
+    w2 = dequantize(qt, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(w2), 3.25, rtol=0, atol=1e-6)
+
+
+def test_k_padding():
+    # K not a multiple of PACK_TILE_K gets zero-padded transparently
+    k, n = 320, 128
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    qt = quantize(w, 64, 4)
+    assert qt.shape == (k, n)
+    assert qt.padded_k == 512
+    w2 = dequantize(qt, dtype=jnp.float32)
+    assert w2.shape == (k, n)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, k), jnp.float32)
+    y = np.asarray(quantized_matmul(x, qt, impl="xla"))
+    y_ref = np.asarray(x @ dequantize(qt, jnp.float32))
+    # xla impl dequantizes to bf16; use a magnitude-normalized bound
+    rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 0.02, rel
+
+
+def test_mlx_layout_conversion():
+    n, k = 96, 512
+    w_nk = jax.random.normal(jax.random.PRNGKey(3), (n, k), jnp.float32)
+    packed, scales, biases = quant.quantize_mlx_layout(w_nk, 64, 4)
+    assert packed.shape == (n, k // 8)
+    qt = quant.from_mlx_layout(packed, scales, biases, 64, 4)
+    w_kn = dequantize(qt, jnp.float32)
+    qt_direct = quantize(w_nk.T, 64, 4)
+    w_direct = dequantize(qt_direct, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(w_kn), np.asarray(w_direct), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("bits,group_size", [(4, 64), (8, 64), (4, 32), (4, 128)])
+def test_pallas_kernel_matches_xla(bits, group_size):
+    """Kernel logic validated in interpreter mode on CPU (compiled path is
+    exercised on real TPU by bench.py / engine tests)."""
+    from pie_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+
+    k, n, m = 1024, 256, 16
+    w = jax.random.normal(jax.random.PRNGKey(4), (k, n), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (m, k), jnp.float32)
+    qt = quantize(w, group_size=group_size, bits=bits)
+    y_ref = np.asarray(x @ dequantize(qt, jnp.float32))
+    y = np.asarray(quant_matmul_pallas(x, qt, interpret=True))
+    # kernel dequantizes to bf16 before the MXU dot; compare with a
+    # magnitude-normalized error bound
+    rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 0.01, f"normalized max err {rel}"
+
+
+def test_quantized_tensor_is_pytree():
+    w = jax.random.normal(jax.random.PRNGKey(6), (512, 128), jnp.float32)
+    qt = quantize(w, 64, 4)
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    assert len(leaves) == 3
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.bits == 4 and qt2.group_size == 64 and qt2.shape == (512, 128)
+
+    @jax.jit
+    def f(x, q):
+        return quantized_matmul(x, q, impl="xla")
+
+    x = jnp.ones((2, 512), jnp.float32)
+    y = f(x, qt)
+    assert y.shape == (2, 128)
