@@ -1,0 +1,214 @@
+"""Paged KV cache pool: device-side pool pytree + host-side page-table
+manager.
+
+Reference parity: the *intended* pie_core design that was never finished —
+KVPage 64-token pages with refcounts (include/engine/page.hpp:14-117),
+PageAllocator (src/engine/page_allocator.cpp), per-sequence page tables
+(include/sequence/sequence.hpp:31-79), consolidated block tables co-designed
+with the attention kernel (include/engine/batch_details.hpp:53-65).
+
+TPU-first: the pool is one global HBM array per K/V ([L, P, page, Hkv, Dh]),
+sequences own page-id lists handed out by the (C++-backed) PageAllocator, and
+batches address the pool through fixed-shape block tables [B, max_pages].
+INT8 KV uses per-(token, head) scales like the reference page layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pie_tpu.runtime import PageAllocator, TOKENS_PER_PAGE
+
+PAGE_SIZE = TOKENS_PER_PAGE
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("k", "v", "k_scale", "v_scale"),
+    meta_fields=("quantized",),
+)
+@dataclasses.dataclass(frozen=True)
+class PagedKVPool:
+    """Device-side page pool.
+
+    k, v: [L, P, PAGE_SIZE, Hkv, Dh] (bf16, or int8 when quantized)
+    k_scale, v_scale: [L, P, PAGE_SIZE, Hkv, 1] f32 (zeros when not quantized)
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    quantized: bool = False
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        num_pages: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "PagedKVPool":
+        shape = (num_layers, num_pages, PAGE_SIZE, num_kv_heads, head_dim)
+        sshape = (num_layers, num_pages, PAGE_SIZE, num_kv_heads, 1)
+        store_dtype = jnp.int8 if quantized else dtype
+        sdt = jnp.float32
+        return cls(
+            k=jnp.zeros(shape, store_dtype),
+            v=jnp.zeros(shape, store_dtype),
+            k_scale=jnp.zeros(sshape, sdt),
+            v_scale=jnp.zeros(sshape, sdt),
+            quantized=quantized,
+        )
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+
+class PagedCacheManager:
+    """Host-side page bookkeeping for a set of sequences.
+
+    Wraps the native PageAllocator; tracks per-sequence page tables and
+    copy-on-write prefix sharing via refcounts (reference
+    page_allocator.cpp:89-92 add_ref semantics).
+    """
+
+    def __init__(self, num_pages: int, max_pages_per_seq: int):
+        self.allocator = PageAllocator(num_pages)
+        self.max_pages_per_seq = max_pages_per_seq
+        self.tables: dict[int, list[int]] = {}
+
+    def pages_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // PAGE_SIZE)
+
+    def can_allocate(self, num_tokens: int) -> bool:
+        return self.allocator.num_free() >= self.pages_needed(num_tokens)
+
+    def allocate_seq(self, seq_id: int, num_tokens: int) -> bool:
+        """Reserve pages for a sequence's first num_tokens; False if the pool
+        can't satisfy it (caller queues / preempts, reference scheduler
+        exhaustion contract page_allocator.cpp:68-73)."""
+        n = self.pages_needed(num_tokens)
+        if n > self.max_pages_per_seq:
+            raise ValueError(
+                f"sequence needs {n} pages > max_pages_per_seq "
+                f"{self.max_pages_per_seq}"
+            )
+        pages = self.allocator.allocate_n(n)
+        if not pages and n > 0:
+            return False
+        self.tables[seq_id] = pages
+        return True
+
+    def extend_seq(self, seq_id: int, new_total_tokens: int) -> bool:
+        """Grow a sequence's table to cover new_total_tokens."""
+        table = self.tables[seq_id]
+        need = self.pages_needed(new_total_tokens) - len(table)
+        if need <= 0:
+            return True
+        if len(table) + need > self.max_pages_per_seq:
+            return False
+        pages = self.allocator.allocate_n(need)
+        if not pages:
+            return False
+        table.extend(pages)
+        return True
+
+    def fork_seq(self, src_seq_id: int, dst_seq_id: int, shared_tokens: int):
+        """Share the first pages of src with dst (prefix cache hit):
+        refcounted copy-on-write at page granularity."""
+        shared_pages = self.pages_needed(shared_tokens)
+        src = self.tables[src_seq_id][:shared_pages]
+        for p in src:
+            self.allocator.add_ref(p)
+        self.tables[dst_seq_id] = list(src)
+
+    def free_seq(self, seq_id: int):
+        for p in self.tables.pop(seq_id, []):
+            self.allocator.free(p)
+
+    def block_table(self, seq_id: int) -> list[int]:
+        return self.tables[seq_id]
+
+    def num_free_pages(self) -> int:
+        return self.allocator.num_free()
+
+
+# ---------------------------------------------------------------------------
+# Device ops: write tokens into the pool, gather for attention
+# ---------------------------------------------------------------------------
+
+
+def write_tokens(
+    pool: PagedKVPool,
+    layer_k: jax.Array,  # [B, T, Hkv, Dh] new keys for ONE layer
+    layer_v: jax.Array,
+    layer_idx: int,
+    block_tables: jax.Array,  # [B, maxP] int32 (-1 pad)
+    positions: jax.Array,  # [B, T] token positions (define page slot)
+) -> PagedKVPool:
+    """Scatter new K/V into the pool (XLA path; the Pallas prefill kernel
+    fuses this). positions -> (page = pos // PAGE_SIZE via block_tables,
+    slot = pos % PAGE_SIZE)."""
+    b, t = positions.shape
+    num_pages = pool.k.shape[1]
+    page_idx = positions // PAGE_SIZE  # logical page per token
+    slot = positions % PAGE_SIZE
+    phys = jnp.take_along_axis(
+        block_tables, jnp.minimum(page_idx, block_tables.shape[1] - 1), axis=1
+    )  # [B, T]
+    # invalid slots (pad tokens / unmapped pages) are routed out-of-bounds so
+    # mode="drop" discards them instead of corrupting physical page 0
+    phys_safe = jnp.where(phys >= 0, phys, num_pages)
+
+    def scat(arr, val):
+        return arr.at[layer_idx, phys_safe, slot].set(
+            val.astype(arr.dtype), mode="drop"
+        )
+
+    if pool.quantized:
+        from pie_tpu.cache.kv_cache import quantize_kv
+
+        kq, ks = quantize_kv(layer_k)
+        vq, vs = quantize_kv(layer_v)
+        return dataclasses.replace(
+            pool,
+            k=scat(pool.k, kq),
+            v=scat(pool.v, vq),
+            k_scale=pool.k_scale.at[layer_idx, phys_safe, slot].set(ks, mode="drop"),
+            v_scale=pool.v_scale.at[layer_idx, phys_safe, slot].set(vs, mode="drop"),
+        )
+    return dataclasses.replace(
+        pool, k=scat(pool.k, layer_k), v=scat(pool.v, layer_v)
+    )
+
+
+def gather_kv(
+    pool: PagedKVPool,
+    layer_idx: int,
+    block_tables: jax.Array,  # [B, maxP]
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather a layer's K/V for a batch into dense [B, maxP*PAGE, Hkv, Dh]
+    (XLA reference path for tests and the pre-kernel fallback)."""
+    bt = jnp.maximum(block_tables, 0)
+    k = pool.k[layer_idx][bt]  # [B, maxP, PAGE, H, D]
+    v = pool.v[layer_idx][bt]
+    if pool.quantized:
+        ks = pool.k_scale[layer_idx][bt]
+        vs = pool.v_scale[layer_idx][bt]
+        k = k.astype(jnp.float32) * ks
+        v = v.astype(jnp.float32) * vs
+    b, mp, pg, h, d = k.shape
+    return (
+        k.reshape(b, mp * pg, h, d).astype(dtype),
+        v.reshape(b, mp * pg, h, d).astype(dtype),
+    )

@@ -323,3 +323,149 @@ class LlamaModel:
             cfg.num_key_value_heads,
             cfg.resolved_head_dim,
         )
+
+    # -- paged-pool forward (continuous batching path) --------------------
+
+    def paged_forward(
+        self,
+        params: dict,
+        input_ids: jax.Array,  # [B, T]
+        pool,  # PagedKVPool
+        block_tables: jax.Array,  # [B, maxP]
+        positions: jax.Array,  # [B, T]
+        context_lens: jax.Array,  # [B] lens AFTER this chunk
+        use_kernel: bool = True,
+    ):
+        """Forward over the global paged KV pool (reference pie_core's
+        intended IModel::forward(BatchDetails) path, include/models/
+        imodel.hpp:16-35 + batch_details.hpp:10-88).
+
+        decode (T==1) uses the Pallas paged-attention kernel; prefill gathers
+        pages to dense KV (prefill is compute-bound so the gather is cheap
+        relative to the matmuls).
+        """
+        from pie_tpu.cache import paged as paged_mod
+        from pie_tpu.ops.paged_attention import (
+            paged_attention_decode,
+            paged_attention_xla,
+        )
+
+        cfg = self.config
+        dh = cfg.resolved_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        h = self.embed(params, input_ids)
+        b, t = h.shape[0], h.shape[1]
+        decode = t == 1
+        inv_freq = self.inv_freq
+        scale = dh**-0.5
+        eps = cfg.rms_norm_eps
+        quantized = pool.quantized
+
+        page_idx = positions // paged_mod.PAGE_SIZE
+        slot = positions % paged_mod.PAGE_SIZE
+        phys = jnp.take_along_axis(
+            block_tables, jnp.minimum(page_idx, block_tables.shape[1] - 1),
+            axis=1,
+        )
+        # invalid writes (pad tokens with position<0, inactive decode lanes,
+        # unmapped pages) route out-of-bounds and are dropped by mode="drop"
+        phys_safe = jnp.where(
+            (phys >= 0) & (positions >= 0), phys, pool.num_pages
+        )
+        # reads/DMAs need in-range page ids; invalid entries read page 0 and
+        # are masked out of attention by context_lens / position masks
+        safe_tables = jnp.maximum(block_tables, 0)
+
+        if not decode:
+            kv_pos = _paged_kv_positions(block_tables, context_lens)
+            mask = attention_mask(positions, kv_pos)
+
+        def layer_fn(h, layer):
+            p = layer[0]
+            x = rms_norm(h, p["ln1"], eps)
+            q = linear(x, p["wq"], p.get("bq")).reshape(b, t, hq, dh)
+            k = linear(x, p["wk"], p.get("bk")).reshape(b, t, hkv, dh)
+            v = linear(x, p["wv"], p.get("bv")).reshape(b, t, hkv, dh)
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+
+            if quantized:
+                pk, pv, pks, pvs = layer[1:]
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                pk = pk.at[phys_safe, slot].set(kq, mode="drop")
+                pv = pv.at[phys_safe, slot].set(vq, mode="drop")
+                pks = pks.at[phys_safe, slot].set(ks, mode="drop")
+                pvs = pvs.at[phys_safe, slot].set(vs, mode="drop")
+                new_layer = (pk, pv, pks, pvs)
+            else:
+                pk, pv = layer[1:3]
+                pks = pvs = None
+                pk = pk.at[phys_safe, slot].set(k.astype(pk.dtype), mode="drop")
+                pv = pv.at[phys_safe, slot].set(v.astype(pv.dtype), mode="drop")
+                new_layer = (pk, pv)
+
+            if decode:
+                if use_kernel and jax.default_backend() == "tpu":
+                    attn = paged_attention_decode(
+                        q[:, 0], pk, pv,
+                        pks if quantized else jnp.zeros(
+                            pk.shape[:3] + (1,), jnp.float32),
+                        pvs if quantized else jnp.zeros(
+                            pk.shape[:3] + (1,), jnp.float32),
+                        safe_tables, context_lens, scale,
+                    )[:, None]
+                else:
+                    attn = paged_attention_xla(
+                        q[:, 0], pk, pv, safe_tables, context_lens, scale,
+                        pks if quantized else None,
+                        pvs if quantized else None,
+                    )[:, None]
+            else:
+                bt_idx = safe_tables
+                ck = pk[bt_idx]
+                cv = pv[bt_idx]
+                if quantized:
+                    ck = ck.astype(jnp.float32) * pks[bt_idx]
+                    cv = cv.astype(jnp.float32) * pvs[bt_idx]
+                mp = bt_idx.shape[1]
+                s_tot = mp * paged_mod.PAGE_SIZE
+                ck = ck.reshape(b, s_tot, hkv, dh).astype(q.dtype)
+                cv = cv.reshape(b, s_tot, hkv, dh).astype(q.dtype)
+                attn = sdpa(q, ck, cv, mask, scale)
+
+            h2 = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
+            x = rms_norm(h2, p["ln2"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            h2 = h2 + linear(jax.nn.silu(g) * u, p["wd"])
+            return h2, new_layer
+
+        if quantized:
+            xs = (params["layers"], pool.k, pool.v, pool.k_scale, pool.v_scale)
+        else:
+            xs = (params["layers"], pool.k, pool.v)
+        h, new_store = jax.lax.scan(layer_fn, h, xs)
+        if quantized:
+            pool = dataclasses.replace(
+                pool, k=new_store[0], v=new_store[1],
+                k_scale=new_store[2], v_scale=new_store[3],
+            )
+        else:
+            pool = dataclasses.replace(pool, k=new_store[0], v=new_store[1])
+        h = rms_norm(h, params["norm"], eps)
+        logits = self.unembed(params, h)
+        return logits.astype(jnp.float32), pool
+
+
+def _paged_kv_positions(block_tables: jax.Array, context_lens: jax.Array):
+    """kv slot positions [B, maxP*PAGE] for gathered paged KV: slot j of
+    logical page i holds position i*PAGE + j when < context_len else -1."""
+    from pie_tpu.cache.paged import PAGE_SIZE
+
+    b, mp = block_tables.shape
+    pos = jnp.arange(mp * PAGE_SIZE)[None, :]
+    valid = (pos < context_lens[:, None]) & (
+        jnp.repeat(block_tables >= 0, PAGE_SIZE, axis=1)
+    )
+    return jnp.where(valid, pos, -1)

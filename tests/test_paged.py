@@ -1,0 +1,147 @@
+"""Paged KV pool + paged attention tests: manager bookkeeping, pool
+write/gather round-trip, XLA paged attention vs dense SDPA, Pallas kernel
+(interpret) vs XLA reference, INT8 pages."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pie_tpu.cache.paged import (
+    PAGE_SIZE,
+    PagedCacheManager,
+    PagedKVPool,
+    gather_kv,
+    write_tokens,
+)
+from pie_tpu.ops.attention import sdpa, attention_mask
+from pie_tpu.ops.paged_attention import (
+    paged_attention_decode,
+    paged_attention_xla,
+)
+
+
+def test_manager_alloc_extend_free():
+    m = PagedCacheManager(num_pages=8, max_pages_per_seq=4)
+    assert m.allocate_seq(1, 100)  # 2 pages
+    assert len(m.block_table(1)) == 2
+    assert m.extend_seq(1, 130)  # 3 pages
+    assert len(m.block_table(1)) == 3
+    assert m.extend_seq(1, 140)  # still 3 pages, no-op
+    assert len(m.block_table(1)) == 3
+    m.free_seq(1)
+    assert m.num_free_pages() == 8
+
+
+def test_manager_max_pages_cap():
+    m = PagedCacheManager(num_pages=8, max_pages_per_seq=4)
+    with pytest.raises(ValueError):
+        m.allocate_seq(1, 5 * PAGE_SIZE)
+
+
+def test_manager_exhaustion_and_fork():
+    m = PagedCacheManager(num_pages=4, max_pages_per_seq=4)
+    assert m.allocate_seq(1, 3 * PAGE_SIZE)
+    assert not m.allocate_seq(2, 2 * PAGE_SIZE)  # only 1 free
+    # prefix fork shares pages with refcounts
+    m.fork_seq(1, 3, 2 * PAGE_SIZE)
+    assert m.block_table(3) == m.block_table(1)[:2]
+    m.free_seq(1)
+    assert m.num_free_pages() == 2  # 2 pages still held by seq 3
+    m.free_seq(3)
+    assert m.num_free_pages() == 4
+
+
+def _setup_pool(b=2, lens=(70, 130), hkv=2, hq=4, d=16, quantized=False, seed=0):
+    rng = np.random.default_rng(seed)
+    max_pages = 4
+    num_pages = 16
+    l = 1
+    pool = PagedKVPool.create(l, num_pages, hkv, d, jnp.float32, quantized)
+    man = PagedCacheManager(num_pages, max_pages)
+    bt = np.full((b, max_pages), -1, np.int32)
+    ks, vs = [], []
+    for i, n in enumerate(lens):
+        man.allocate_seq(i, n)
+        table = man.block_table(i)
+        bt[i, : len(table)] = table
+        ks.append(rng.standard_normal((n, hkv, d)).astype(np.float32))
+        vs.append(rng.standard_normal((n, hkv, d)).astype(np.float32))
+    bt = jnp.asarray(bt)
+    # write each sequence's tokens through write_tokens in chunks
+    for i, n in enumerate(lens):
+        pos = jnp.asarray(np.arange(n)[None, :])
+        pool = write_tokens(
+            pool,
+            jnp.asarray(ks[i][None]),
+            jnp.asarray(vs[i][None]),
+            0,
+            bt[i : i + 1],
+            pos,
+        )
+    return pool, bt, ks, vs, jnp.asarray(np.array(lens, np.int32))
+
+
+def test_write_gather_roundtrip():
+    pool, bt, ks, vs, lens = _setup_pool()
+    k, v = gather_kv(pool, 0, bt, jnp.float32)
+    for i, n in enumerate([70, 130]):
+        np.testing.assert_allclose(np.asarray(k[i, :n]), ks[i], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v[i, :n]), vs[i], atol=1e-6)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_attention_xla_vs_dense(quantized):
+    b, hkv, hq, d = 2, 2, 4, 16
+    lens = (70, 130)
+    pool, bt, ks, vs, lens_arr = _setup_pool(
+        b, lens, hkv, hq, d, quantized=quantized
+    )
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)).astype(np.float32))
+    scale = d**-0.5
+    out = paged_attention_xla(
+        q, pool.k[0], pool.v[0], bt, lens_arr, scale,
+        pool.k_scale[0] if quantized else None,
+        pool.v_scale[0] if quantized else None,
+    )
+    # dense reference: pad each seq's kv into [B, S, H, D]
+    s = max(lens)
+    kd = np.zeros((b, s, hkv, d), np.float32)
+    vd = np.zeros((b, s, hkv, d), np.float32)
+    for i, n in enumerate(lens):
+        kd[i, :n] = ks[i]
+        vd[i, :n] = vs[i]
+    qpos = jnp.asarray([[lens[0] - 1], [lens[1] - 1]], jnp.int32)
+    kv_pos = np.full((b, s), -1, np.int32)
+    for i, n in enumerate(lens):
+        kv_pos[i, :n] = np.arange(n)
+    mask = attention_mask(qpos, jnp.asarray(kv_pos))
+    ref = sdpa(
+        q[:, None], jnp.asarray(kd), jnp.asarray(vd), mask, scale
+    )[:, 0]
+    tol = 0.05 if quantized else 2e-5
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=tol, rtol=tol)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_pallas_decode_kernel_matches_xla(quantized):
+    b, hkv, hq, d = 2, 2, 4, 16
+    pool, bt, ks, vs, lens_arr = _setup_pool(
+        b, (70, 130), hkv, hq, d, quantized=quantized
+    )
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)).astype(np.float32))
+    scale = d**-0.5
+    ref = paged_attention_xla(
+        q, pool.k[0], pool.v[0], bt, lens_arr, scale,
+        pool.k_scale[0] if quantized else None,
+        pool.v_scale[0] if quantized else None,
+    )
+    out = paged_attention_decode(
+        q, pool.k[0], pool.v[0], pool.k_scale[0], pool.v_scale[0],
+        bt, lens_arr, scale, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+    )
