@@ -65,7 +65,7 @@ def main():
 
     if on_tpu:
         config = llama32_1b_config()
-        steps, chunk = 128, 32
+        steps, chunk = 192, 64
     else:  # smoke-test geometry for CPU runs
         from pie_tpu.models.llama import LlamaConfig
 
@@ -76,8 +76,15 @@ def main():
         )
         steps, chunk = 16, 8
 
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     model = LlamaModel(config)
+    log("bench: init params")
     params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    log("bench: quantize")
     params = model.quantize_params(params, group_size=64, bits=4)
     # tied embedding stays bf16; decode still reads it for the lm head —
     # count it in the roofline model
@@ -90,7 +97,9 @@ def main():
 
     prompt = list(range(1, 65))
     # warmup (compiles prefill + decode)
+    log("bench: warmup/compile")
     engine.generate(prompt, max_completion_tokens=chunk + 1, temperature=0.0)
+    log("bench: timing")
 
     t0 = time.perf_counter()
     res = engine.generate(prompt, max_completion_tokens=steps, temperature=0.0)

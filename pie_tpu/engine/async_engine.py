@@ -1,0 +1,211 @@
+"""Batching engine service: a background scheduler thread + per-request
+streaming, exposing the same generate/chat surface as InferenceEngine so the
+server can serve many concurrent requests with continuous batching.
+
+Reference parity: this is the role the pie_core engine process + IPC ring
+was meant to play (reference src/main.cpp:28-113, include/ipc/ipc_reader.hpp:
+26-76) — requests flow from the frontend into the scheduler, results stream
+back per token. On TPU the "engine process" is a thread driving jitted device
+programs; the request channel is a thread-safe queue instead of POSIX shm
+(single process owns the TPU client).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from typing import Any, Iterator, Optional, Sequence
+
+from pie_tpu.engine.engine import (
+    GenerationResult,
+    InferenceError,
+    StreamedToken,
+    _chat_run,
+)
+from pie_tpu.engine.scheduler import PagedEngine, Scheduler, SeqStatus, Sequence
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+class BatchedInferenceEngine:
+    """Drop-in engine with continuous batching underneath.
+
+    Same public surface as InferenceEngine (generate / generate_stream /
+    chat / chat_stream) but safe for concurrent callers: requests from any
+    thread are admitted into the shared scheduler and decoded together.
+    """
+
+    def __init__(
+        self,
+        model=None,
+        params=None,
+        tokenizer=None,
+        model_path: Optional[str] = None,
+        num_lanes: int = 8,
+        num_pages: int = 1024,
+        max_pages_per_seq: int = 64,
+        prefill_chunk: int = 256,
+        kv_quantized: bool = False,
+        seed: int = 0,
+    ):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model+params or model_path")
+            from pie_tpu.models.loader import load_model
+
+            model, params = load_model(model_path)
+            if tokenizer is None:
+                from pie_tpu.tokenizer import load_tokenizer
+
+                tokenizer = load_tokenizer(model_path)
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        import jax.numpy as jnp
+
+        self.core = PagedEngine(
+            model,
+            params,
+            num_lanes=num_lanes,
+            num_pages=num_pages,
+            max_pages_per_seq=max_pages_per_seq,
+            prefill_chunk=prefill_chunk,
+            kv_quantized=kv_quantized,
+            seed=seed,
+        )
+        self.scheduler = Scheduler(self.core)
+        self._submit_q: queue.Queue = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self):
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(
+            target=self._loop, name="pie-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def _loop(self):
+        sched = self.scheduler
+        while not self._stop.is_set():
+            # drain submissions
+            try:
+                while True:
+                    seq = self._submit_q.get_nowait()
+                    sched.waiting.append(seq)
+            except queue.Empty:
+                pass
+            if not sched.has_work:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                sched.step()
+            except Exception:
+                logger.exception("scheduler step failed")
+                # fail all running sequences so callers unblock
+                for seq in list(sched.running.values()) + list(sched.waiting):
+                    seq.finish_reason = "error: scheduler failure"
+                    out_q = getattr(seq, "_out_q", None)
+                    if out_q is not None:
+                        out_q.put(_SENTINEL)
+                sched.running.clear()
+                sched.waiting.clear()
+
+    # -- request path ----------------------------------------------------
+
+    def generate_stream(
+        self,
+        prompt_ids: Sequence[int],
+        max_completion_tokens: int = 256,
+        stop_token_ids: Sequence[int] = (),
+        logprobs: bool = False,
+        **kwargs,
+    ) -> Iterator[StreamedToken]:
+        """Same contract as InferenceEngine.generate_stream (StopIteration
+        value = GenerationResult)."""
+        if not prompt_ids:
+            raise InferenceError("empty prompt")
+        self.start()
+        out_q: queue.Queue = queue.Queue()
+        seq = Sequence(
+            seq_id=-1,
+            prompt_ids=list(prompt_ids),
+            max_new_tokens=max_completion_tokens,
+            stop_token_ids=tuple(stop_token_ids),
+            temperature=float(kwargs.get("temperature", 1.0)),
+            top_p=float(kwargs.get("top_p", 1.0)),
+            min_p=float(kwargs.get("min_p", 0.0)),
+            top_k=int(kwargs.get("top_k", -1)),
+            repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
+            presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
+            frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+        )
+        seq.seq_id = self._next_id()
+        seq._out_q = out_q
+        seq.on_token = lambda s, t: out_q.put(t)
+        seq.on_finish = lambda s: out_q.put(_SENTINEL)
+        self._submit_q.put(seq)
+        self._wake.set()
+
+        try:
+            while True:
+                tok = out_q.get()
+                if tok is _SENTINEL:
+                    break
+                yield StreamedToken(int(tok))
+        except GeneratorExit:
+            seq.cancelled = True
+            raise
+        if seq.finish_reason and seq.finish_reason.startswith("error"):
+            raise InferenceError(seq.finish_reason)
+        return GenerationResult(
+            token_ids=list(seq.output_ids),
+            finish_reason=seq.finish_reason or "length",
+            prompt_tokens=len(seq.prompt_ids),
+            completion_tokens=len(seq.output_ids),
+        )
+
+    _id_lock = threading.Lock()
+    _id_counter = 0
+
+    @classmethod
+    def _next_id(cls) -> int:
+        with cls._id_lock:
+            cls._id_counter += 1
+            return cls._id_counter
+
+    def generate(self, prompt_ids, **kw) -> GenerationResult:
+        gen = self.generate_stream(prompt_ids, **kw)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value
+
+    # chat surface shared with InferenceEngine
+    def chat_stream(self, interactions, **kw):
+        return _chat_run(self, interactions, **kw)
+
+    def chat(self, interactions, **kw):
+        gen = _chat_run(self, interactions, **kw)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value

@@ -277,6 +277,91 @@ class InferenceEngine:
         self.state = state
         return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
 
+    # -- constrained decoding (structured generation) -------------------
+
+    @property
+    def token_masker(self):
+        """Lazily built vocabulary index for constrained decoding."""
+        if getattr(self, "_token_masker", None) is None:
+            from pie_tpu.structured.token_masks import TokenMasker
+
+            if self.tokenizer is None:
+                raise InferenceError("constrained decoding requires a tokenizer")
+            self._token_masker = TokenMasker(self.tokenizer)
+        return self._token_masker
+
+    def generate_constrained(
+        self,
+        prompt_ids,
+        machine,
+        max_completion_tokens: int = 1024,
+        stop_token_ids=(),
+        **kwargs,
+    ):
+        """Token-by-token generation under a character-machine constraint
+        (PSE-equivalent loop: mask logits -> sample -> advance automaton;
+        reference engine/inference_engine.py:241-271 process_logits/sample
+        interplay). Returns (GenerationResult, text)."""
+        import numpy as np
+
+        masker = self.token_masker
+        machine = machine.copy()
+        v = self.model.config.vocab_size
+        plen = len(prompt_ids)
+        bucket = _bucket(plen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = prompt_ids
+        sampling = self._sampling(kwargs)
+        penalties = self._penalties(kwargs)
+        bias_ids, bias_vals = self._bias(kwargs)
+        stop = jnp.asarray(
+            np.asarray(list(stop_token_ids) or [PAD_TOKEN], np.int32)
+        )
+
+        def device_mask():
+            m = masker.build_mask(machine)
+            full = np.zeros((1, v), bool)
+            full[0, : m.shape[0]] = m
+            return jnp.asarray(full)
+
+        state, token, _ = self.core._prefill(
+            self.params, self.state, jnp.asarray(ids),
+            jnp.full((1,), plen, jnp.int32), jnp.zeros((1,), jnp.int32),
+            sampling, penalties, bias_ids, bias_vals,
+            allowed_mask=device_mask(),
+        )
+        out_tokens = []
+        finish = "length"
+        tok = int(token[0])
+        for _ in range(max_completion_tokens):
+            tstr = masker.token_strs[tok] if tok < masker.vocab_size else None
+            if tstr is None or not machine.advance(tstr):
+                finish = "error: constrained decoding produced invalid token"
+                break
+            out_tokens.append(tok)
+            if machine.is_complete:
+                finish = "stop"
+                break
+            if len(out_tokens) >= max_completion_tokens:
+                break
+            state, outs = self.core._decode(
+                self.params, state, sampling, penalties, bias_ids, bias_vals,
+                stop, allowed_mask=device_mask(), num_steps=1,
+            )
+            tok = int(np.asarray(outs[0])[0, 0])
+        self.state = state
+        text = "".join(
+            masker.token_strs[t] for t in out_tokens
+            if masker.token_strs[t] is not None
+        )
+        result = GenerationResult(
+            token_ids=out_tokens,
+            finish_reason=finish,
+            prompt_tokens=plen,
+            completion_tokens=len(out_tokens),
+        )
+        return result, text
+
     def _result(self, prompt_ids, out_tokens, out_logprobs, finish, logprobs):
         return GenerationResult(
             token_ids=out_tokens,
@@ -306,6 +391,8 @@ def _chat_run(
     interactions,
     tools=None,
     response_format=None,
+    tool_choice="auto",
+    parallel_tool_calls: bool = False,
     stop=None,
     max_completion_tokens: int = 1024,
     logprobs: bool = False,
@@ -325,6 +412,50 @@ def _chat_run(
     prompt_ids = tok.apply_chat_template(
         interactions, add_generation_prompt=True, tools=tools
     )
+
+    # structured generation: constrained decoding when the request pins the
+    # output shape (reference RootStateMachine.configure flow)
+    from pie_tpu.structured import RootStateMachine
+
+    root = RootStateMachine(tok.control_tokens)
+    st = root.configure(
+        response_format=response_format,
+        tools=tools,
+        tool_choice=tool_choice,
+        parallel_tool_calls=parallel_tool_calls,
+        stop=[stop] if isinstance(stop, str) else (stop or []),
+    )
+    if st.machine is not None and hasattr(engine, "generate_constrained"):
+        merged = dict(sampling_kwargs)
+        merged.update(st.generation_kwargs)
+        result, text = engine.generate_constrained(
+            prompt_ids, st.machine, max_completion_tokens, **merged
+        )
+        yield ChatDelta(text=text)
+        label, value = RootStateMachine.labeled_output(st, text)
+        content = []
+        finish = result.finish_reason
+        if label == "tool_calls":
+            for c in value:
+                content.append(
+                    Content.tool_call_content(c["name"], c["arguments"])
+                )
+            finish = "tool_calls"
+        else:
+            content.append(Content.text_content(text))
+            if finish.startswith("error"):
+                finish = "stop"
+        return Interaction(
+            role=InteractionRole.ASSISTANT,
+            content=content,
+            metadata={
+                "finish_reason": finish,
+                "prompt_tokens": result.prompt_tokens,
+                "completion_tokens": result.completion_tokens,
+                "logprobs": None,
+                "token_ids": result.token_ids,
+            },
+        )
     stop_strings = [stop] if isinstance(stop, str) else list(stop or [])
     dec = IncrementalDecoder(tok)
     matcher = StopSequenceMatcher(stop_strings)

@@ -73,6 +73,7 @@ class Sequence:
     finish_reason: Optional[str] = None
     cancelled: bool = False
     on_token: Optional[Callable[["Sequence", int], None]] = None
+    on_finish: Optional[Callable[["Sequence"], None]] = None
 
     @property
     def num_tokens(self) -> int:
@@ -232,13 +233,12 @@ class Scheduler:
             seq = self.waiting[0]
             if seq.cancelled:
                 self.waiting.popleft()
-                seq.status = SeqStatus.CANCELLED
+                self._finish(seq, "cancelled")
                 continue
             need = len(seq.prompt_ids) + seq.max_new_tokens
             if self.manager.pages_needed(need) > self.engine.max_pages_per_seq:
                 self.waiting.popleft()
-                seq.status = SeqStatus.ERROR
-                seq.finish_reason = "error: sequence exceeds max pages"
+                self._finish(seq, "error: sequence exceeds max pages")
                 continue
             if not self.manager.allocate_seq(seq.seq_id, need):
                 break  # pool exhausted -> stay queued (reference contract)
@@ -410,6 +410,11 @@ class Scheduler:
             self.context_lens[seq.lane] = 0
             seq.lane = -1
         self.manager.free_seq(seq.seq_id)
+        if seq.on_finish:
+            try:
+                seq.on_finish(seq)
+            except Exception:  # pragma: no cover
+                logger.exception("on_finish callback failed")
 
 
 def _bucket_chunk(n: int, max_chunk: int) -> int:

@@ -195,28 +195,84 @@ class LlamaModel:
         return params
 
     def quantize_params(
-        self, params: dict, group_size: int = 64, bits: int = 4
+        self, params: dict, group_size: int = 64, bits: int = 4,
+        fuse_projections: bool = True, quantize_lm_head: bool = True,
     ) -> dict:
         """Group-wise quantize every linear weight (reference
         models/utils.py:95-111 ``nn.quantize`` hookup; predicate: last dim
         divisible by group size — always true for llama dims)."""
+        import functools
+
         from pie_tpu.ops.quant import quantize
 
         out = dict(params)
         layers = dict(params["layers"])
-
-        for name in self.LINEAR_KEYS:
-            w = layers[name]  # [L, K, N]
-            qts = [quantize(w[i], group_size, bits) for i in range(w.shape[0])]
-            layers[name] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *qts
+        qfn = jax.jit(
+            jax.vmap(functools.partial(quantize, group_size=group_size, bits=bits))
+        )
+        fuse = fuse_projections and "bq" not in layers
+        names = list(self.LINEAR_KEYS)
+        if fuse:
+            # fuse QKV and gate/up along the output dim: fewer, larger
+            # kernel launches on the decode critical path
+            layers["wqkv"] = qfn(
+                jnp.concatenate(
+                    [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")],
+                    axis=-1,
+                )
             )
+            layers["wgu"] = qfn(
+                jnp.concatenate([layers.pop("wg"), layers.pop("wu")], axis=-1)
+            )
+            names = ["wo", "wd"]
+        for name in names:
+            layers[name] = qfn(layers[name])  # [L, K, N] stacked quantize
         out["layers"] = layers
         if "lm_head" in params:
             out["lm_head"] = quantize(params["lm_head"], group_size, bits)
+        elif quantize_lm_head:
+            # tied embeddings: keep the bf16 table for lookups but give the
+            # decode hot path an int-quantized head (saves the full-vocab
+            # bf16 read per token)
+            out["lm_head"] = quantize(
+                params["embed"].T.astype(jnp.float32), group_size, bits
+            )
         return out
 
     # -- forward ----------------------------------------------------------
+
+
+    # -- projection helpers (fused or per-matrix) -------------------------
+
+    def _attn_proj(self, p, x, b, t):
+        cfg = self.config
+        dh = cfg.resolved_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        if "wqkv" in p:
+            y = linear(x, p["wqkv"])
+            nq, nk = hq * dh, hkv * dh
+            q = y[..., :nq]
+            k = y[..., nq : nq + nk]
+            v = y[..., nq + nk :]
+        else:
+            q = linear(x, p["wq"], p.get("bq"))
+            k = linear(x, p["wk"], p.get("bk"))
+            v = linear(x, p["wv"], p.get("bv"))
+        return (
+            q.reshape(b, t, hq, dh),
+            k.reshape(b, t, hkv, dh),
+            v.reshape(b, t, hkv, dh),
+        )
+
+    def _mlp(self, p, x):
+        if "wgu" in p:
+            y = linear(x, p["wgu"])
+            di = y.shape[-1] // 2
+            g, u = y[..., :di], y[..., di:]
+        else:
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+        return linear(jax.nn.silu(g) * u, p["wd"])
 
     def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
         return params["embed"][input_ids]
@@ -265,9 +321,7 @@ class LlamaModel:
         def layer_fn(h, layer):
             p = layer[0]
             x = rms_norm(h, p["ln1"], eps)
-            q = linear(x, p["wq"], p.get("bq")).reshape(b, t, hq, dh)
-            k = linear(x, p["wk"], p.get("bk")).reshape(b, t, hkv, dh)
-            v = linear(x, p["wv"], p.get("bv")).reshape(b, t, hkv, dh)
+            q, k, v = self._attn_proj(p, x, b, t)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
 
@@ -292,9 +346,7 @@ class LlamaModel:
             h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
 
             x = rms_norm(h, p["ln2"], eps)
-            g = linear(x, p["wg"])
-            u = linear(x, p["wu"])
-            h = h + linear(jax.nn.silu(g) * u, p["wd"])
+            h = h + self._mlp(p, x)
             return h, new_layer_cache
 
         if quantized:
@@ -383,9 +435,7 @@ class LlamaModel:
         def layer_fn(h, layer):
             p = layer[0]
             x = rms_norm(h, p["ln1"], eps)
-            q = linear(x, p["wq"], p.get("bq")).reshape(b, t, hq, dh)
-            k = linear(x, p["wk"], p.get("bk")).reshape(b, t, hkv, dh)
-            v = linear(x, p["wv"], p.get("bv")).reshape(b, t, hkv, dh)
+            q, k, v = self._attn_proj(p, x, b, t)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
 
@@ -436,9 +486,7 @@ class LlamaModel:
 
             h2 = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
             x = rms_norm(h2, p["ln2"], eps)
-            g = linear(x, p["wg"])
-            u = linear(x, p["wu"])
-            h2 = h2 + linear(jax.nn.silu(g) * u, p["wd"])
+            h2 = h2 + self._mlp(p, x)
             return h2, new_layer
 
         if quantized:

@@ -66,23 +66,12 @@ class SamplingParams:
         return SamplingParams(**out)
 
 
-def sample(
-    logits: jax.Array,
-    params: SamplingParams,
-    key: jax.Array,
-) -> jax.Array:
-    """Fused batched sampler: temperature / top-k / top-p / min-p /
-    categorical via Gumbel-max; temperature==0 selects greedy argmax.
-
-    logits: [B, V] f32. Returns token ids [B] int32.
-    """
+def _sample_sorted(logits, params, key):
+    """Full path: one descending sort serves top-k, top-p and min-p."""
     b, v = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     temp = params.temperature[:, None]
     scaled = logits / jnp.maximum(temp, 1e-6)
 
-    # One descending sort serves top-k, top-p and min-p.
     sort_idx = jnp.argsort(-scaled, axis=-1)
     sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
     sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -105,9 +94,48 @@ def sample(
     gumbel = jax.random.gumbel(key, (b, v), jnp.float32)
     pick_rank = jnp.argmax(masked + gumbel, axis=-1)
     sampled = jnp.take_along_axis(sort_idx, pick_rank[:, None], axis=-1)[:, 0]
-
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.where(
         params.temperature <= 0.0, greedy, sampled.astype(jnp.int32)
+    )
+
+
+def _sample_nofilter(logits, params, key):
+    """Fast path when no top-k/top-p/min-p filter is active anywhere in the
+    batch: plain temperature + Gumbel-max (no vocab sort)."""
+    b, v = logits.shape
+    scaled = logits / jnp.maximum(params.temperature[:, None], 1e-6)
+    gumbel = jax.random.gumbel(key, (b, v), jnp.float32)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(params.temperature <= 0.0, greedy, sampled)
+
+
+def sample(
+    logits: jax.Array,
+    params: SamplingParams,
+    key: jax.Array,
+) -> jax.Array:
+    """Fused batched sampler: temperature / top-k / top-p / min-p /
+    categorical via Gumbel-max; temperature==0 selects greedy argmax.
+
+    The expensive vocab argsort runs only when some sequence actually uses
+    a truncation filter — the all-greedy / plain-categorical batch takes an
+    argmax-only fast path (runtime lax.cond, no recompiles).
+
+    logits: [B, V] f32. Returns token ids [B] int32.
+    """
+    active = params.temperature > 0.0
+    any_filter = jnp.any(
+        active
+        & (
+            (params.top_k > 0)
+            | (params.top_p < 1.0)
+            | (params.min_p > 0.0)
+        )
+    )
+    return jax.lax.cond(
+        any_filter, _sample_sorted, _sample_nofilter, logits, params, key
     )
 
 

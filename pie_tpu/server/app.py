@@ -54,6 +54,17 @@ def _gen_kwargs(req) -> dict[str, Any]:
     return kw
 
 
+class _NullLock:
+    """No-op lock for engines that support concurrent requests (the
+    continuous-batching service)."""
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        return False
+
+
 async def _run_blocking(app, fn, *args, **kwargs):
     async with app[LOCK_KEY]:
         return await asyncio.get_event_loop().run_in_executor(
@@ -76,8 +87,12 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
     kw = _gen_kwargs(req)
     max_tokens = req.max_completion_tokens or req.max_tokens or 1024
     tools = [t.model_dump() for t in req.tools] if req.tools else None
-    if req.tool_choice == "none":
+    tool_choice = req.tool_choice
+    if isinstance(tool_choice, S.NamedToolChoice):
+        tool_choice = tool_choice.model_dump()
+    if tool_choice == "none":
         tools = None
+        tool_choice = "auto"
     interactions = [
         {"role": "user" if m.role == "developer" else m.role, "text": m.text()}
         for m in req.messages
@@ -90,11 +105,13 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         try:
             inter = await _run_blocking(
                 app, engine.chat, interactions, tools=tools,
-                response_format=response_format, stop=req.stop,
-                max_completion_tokens=max_tokens,
+                response_format=response_format,
+                tool_choice=tool_choice or "auto",
+                parallel_tool_calls=bool(req.parallel_tool_calls),
+                stop=req.stop, max_completion_tokens=max_tokens,
                 logprobs=bool(req.logprobs), **kw,
             )
-        except InferenceError as e:
+        except (InferenceError, ValueError) as e:
             return _err(400, str(e))
         return web.json_response(_chat_response(engine, req, inter).model_dump(exclude_none=True))
 
@@ -128,6 +145,8 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         try:
             gen = engine.chat_stream(
                 interactions, tools=tools, response_format=response_format,
+                tool_choice=tool_choice or "auto",
+                parallel_tool_calls=bool(req.parallel_tool_calls),
                 stop=req.stop, max_completion_tokens=max_tokens,
                 logprobs=bool(req.logprobs), **kw,
             )
@@ -275,7 +294,7 @@ async def handle_completions(request: web.Request) -> web.Response:
             logprobs=req.logprobs is not None,
             **kw,
         )
-    except InferenceError as e:
+    except (InferenceError, ValueError) as e:
         return _err(400, str(e))
     tok = engine.tokenizer
     text = tok.decode(res.token_ids, skip_special_tokens=True) if tok else ""
@@ -361,7 +380,7 @@ async def handle_responses(request: web.Request) -> web.Response:
             app, engine.chat, interactions, tools=tools,
             max_completion_tokens=req.max_output_tokens or 1024, **kw,
         )
-    except InferenceError as e:
+    except (InferenceError, ValueError) as e:
         return _err(400, str(e))
     output: list = []
     if inter.tool_calls:
@@ -402,17 +421,32 @@ def create_app(
         if not settings.model_path:
             raise RuntimeError("MODEL_PATH is not set")
         logger.info("loading model from %s", settings.model_path)
-        engine = InferenceEngine(
-            model_path=settings.model_path,
-            max_seq_len=settings.max_seq_len,
-            kv_quantized=settings.kv_quantized,
-        )
+        if settings.batching:
+            from pie_tpu.engine.async_engine import BatchedInferenceEngine
+
+            engine = BatchedInferenceEngine(
+                model_path=settings.model_path,
+                num_lanes=settings.num_lanes,
+                num_pages=settings.num_pages,
+                kv_quantized=settings.kv_quantized,
+            )
+        else:
+            engine = InferenceEngine(
+                model_path=settings.model_path,
+                max_seq_len=settings.max_seq_len,
+                kv_quantized=settings.kv_quantized,
+            )
     app = web.Application()
     app[ENGINE_KEY] = engine
 
+    from pie_tpu.engine.async_engine import BatchedInferenceEngine
+
+    concurrent = isinstance(engine, BatchedInferenceEngine)
+
     async def _init_lock(app):
-        # created at startup so the lock binds to the serving event loop
-        app[LOCK_KEY] = asyncio.Lock()
+        # created at startup so the lock binds to the serving event loop;
+        # the batching engine handles concurrency itself -> no lock
+        app[LOCK_KEY] = _NullLock() if concurrent else asyncio.Lock()
 
     app.on_startup.append(_init_lock)
     app.router.add_post("/v1/chat/completions", handle_chat)

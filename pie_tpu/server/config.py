@@ -16,6 +16,9 @@ class Settings:
     log_level: str = "INFO"
     max_seq_len: int = 4096
     kv_quantized: bool = False
+    batching: bool = False
+    num_lanes: int = 8
+    num_pages: int = 1024
 
     @classmethod
     def load(cls) -> "Settings":
@@ -35,6 +38,9 @@ class Settings:
             log_level=get("LOG_LEVEL", "INFO"),
             max_seq_len=int(get("MAX_SEQ_LEN", "4096")),
             kv_quantized=get("KV_QUANTIZED", "0") in ("1", "true", "True"),
+            batching=get("BATCHING", "0") in ("1", "true", "True"),
+            num_lanes=int(get("NUM_LANES", "8")),
+            num_pages=int(get("NUM_PAGES", "1024")),
         )
 
 
