@@ -21,7 +21,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from pie_tpu.cache.kv_cache import make_kv_cache
+
+# bench-only ablation switches (PIE_ABLATE=nosample,nohead,noproc,...)
+ABLATE = set(
+    filter(None, os.environ.get("PIE_ABLATE", "").split(","))
+)
 from pie_tpu.ops.sampling import (
     SamplingParams,
     apply_logit_bias,
@@ -251,12 +258,18 @@ class EngineCore:
                 state.lengths[:, None],
             )
             logits = logits[:, 0]
-            proc = self._process_logits(
-                logits, state.history, penalties, bias_ids, bias_vals,
-                allowed_mask,
-            )
+            if "noproc" in ABLATE:
+                proc = logits
+            else:
+                proc = self._process_logits(
+                    logits, state.history, penalties, bias_ids, bias_vals,
+                    allowed_mask,
+                )
             key, sub = jax.random.split(state.key)
-            token = sample(proc, sampling, sub)
+            if "nosample" in ABLATE:
+                token = logits[:, :8].argmax(-1).astype(jnp.int32)
+            else:
+                token = sample(proc, sampling, sub)
             token = jnp.where(active, token, state.last_token)
             # stop ids are -1 padded; real tokens are >= 0 so pads never match
             hit_stop = jnp.any(token[:, None] == stop_ids[None, :], axis=1)

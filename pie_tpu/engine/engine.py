@@ -75,6 +75,8 @@ class InferenceEngine:
         decode_chunk: int = 16,
         logprobs_k: int = 8,
         seed: int = 0,
+        prompt_cache: bool = True,
+        prompt_cache_dir=None,
     ):
         if model is None:
             if model_path is None:
@@ -100,6 +102,11 @@ class InferenceEngine:
             logprobs_k=logprobs_k,
         )
         self.state = self.core.new_state(seed)
+        from pie_tpu.cache.prompt_cache import PromptCache
+
+        self.prompt_cache = (
+            PromptCache(prompt_cache_dir) if prompt_cache else None
+        )
         self._empty_bias = (
             jnp.full((1, 0), PAD_TOKEN, jnp.int32),
             jnp.zeros((1, 0), jnp.float32),
@@ -181,9 +188,16 @@ class InferenceEngine:
         plen = len(prompt_ids)
         if plen + max_tokens > self.core.max_seq_len:
             max_tokens = max(0, self.core.max_seq_len - plen)
-        bucket = _bucket(plen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
+        # prompt-cache prefix reuse: prefill only the un-cached suffix
+        # (reference PromptCache.reuse_cache, cache/prompt_cache.py:52-76)
+        first_pos = 0
+        if self.prompt_cache is not None:
+            first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
+        suffix = prompt_ids[first_pos:]
+        slen = len(suffix)
+        bucket = _bucket(slen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
         ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = prompt_ids
+        ids[0, :slen] = suffix
         sampling = self._sampling(kw)
         penalties = self._penalties(kw)
         bias_ids, bias_vals = self._bias(kw)
@@ -195,8 +209,8 @@ class InferenceEngine:
             self.params,
             self.state,
             jnp.asarray(ids),
-            jnp.full((1,), plen, jnp.int32),
-            jnp.zeros((1,), jnp.int32),
+            jnp.full((1,), slen, jnp.int32),
+            jnp.full((1,), first_pos, jnp.int32),
             sampling,
             penalties,
             bias_ids,
@@ -231,13 +245,18 @@ class InferenceEngine:
             yield emit(first, chosen[0], tv[0], ti[0])
         else:
             yield emit(first)
+        def _finalize(reason):
+            self.state = state
+            if self.prompt_cache is not None:
+                self.prompt_cache.update(list(prompt_ids) + out_tokens)
+            return self._result(
+                prompt_ids, out_tokens, out_logprobs, reason, logprobs
+            )
+
         if first in stop_token_ids:
-            finish = "stop"
-            self.state = state
-            return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
+            return _finalize("stop")
         if max_tokens <= 1:
-            self.state = state
-            return self._result(prompt_ids, out_tokens, out_logprobs, "length", logprobs)
+            return _finalize("length")
 
         produced = 1
         while produced < max_tokens:
@@ -275,6 +294,8 @@ class InferenceEngine:
                 finish = "stop"
                 break
         self.state = state
+        if self.prompt_cache is not None:
+            self.prompt_cache.update(list(prompt_ids) + out_tokens)
         return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
 
     # -- constrained decoding (structured generation) -------------------

@@ -1,0 +1,471 @@
+"""Gemma-3 model family: text decoder + SigLIP vision tower (VLM ensemble).
+
+Reference parity: models/gemma/ (P14 in SURVEY.md §2.1) — text decoder with
+5:1 sliding/global layer pattern, dual RoPE bases (local 10k / global 1M with
+linear scaling), q/k-norm, 4 norms per block, GeGLU MLP, scaled embeddings;
+SigLIP vision tower + 4x4 avg-pool multimodal projector; image-token scatter
+merge (models/gemma/ensemble.py:108-157).
+
+TPU-first: one lax.scan over layers with a per-layer is_sliding flag array —
+window masking and the dual-RoPE choice are elementwise selects inside the
+scan (no per-layer retrace); the cache is the same fixed-capacity/paged
+machinery as llama.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, dequantize_kv, quantize_kv
+from pie_tpu.models.config import BaseConfig, _filter_kwargs
+from pie_tpu.models.registry import register_model
+from pie_tpu.ops.attention import attention_mask, sdpa
+from pie_tpu.ops.rope import make_inv_freq
+from pie_tpu.models.llama import linear
+
+
+@dataclasses.dataclass(frozen=True)
+class Gemma3Config(BaseConfig):
+    model_type: str = "gemma3_text"
+    hidden_size: int = 1152
+    num_hidden_layers: int = 26
+    intermediate_size: int = 6912
+    num_attention_heads: int = 4
+    num_key_value_heads: int = 1
+    head_dim: int = 256
+    rms_norm_eps: float = 1e-6
+    vocab_size: int = 262144
+    rope_theta: float = 1000000.0
+    rope_local_base_freq: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    sliding_window: int = 512
+    sliding_window_pattern: int = 6
+    query_pre_attn_scalar: float = 256.0
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 131072
+    # vision (None => text-only)
+    vision: Optional[dict] = None
+    mm_tokens_per_image: int = 256
+    image_token_id: int = 262144  # <image_soft_token> in gemma3 vocab? set from config
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Gemma3Config":
+        if "text_config" in d:  # VLM wrapper config
+            td = dict(d["text_config"])
+            td["model_type"] = "gemma3"
+            td["vision"] = d.get("vision_config")
+            td["mm_tokens_per_image"] = d.get("mm_tokens_per_image", 256)
+            td["image_token_id"] = d.get("image_token_index", d.get("image_token_id", 262144))
+            for k in ("tie_word_embeddings",):
+                if k in d:
+                    td[k] = d[k]
+            return cls(**_filter_kwargs(cls, td))
+        return cls(**_filter_kwargs(cls, d))
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim
+
+
+def _gemma_rms(x, w, eps):
+    """Gemma RMSNorm: scale is stored as (gamma - 1)."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def _rope(x, positions, inv_freq):
+    from pie_tpu.ops.rope import apply_rope
+
+    return apply_rope(x, positions, inv_freq)
+
+
+@register_model("gemma3")
+class Gemma3Model:
+    """Gemma-3 decoder (+optional vision)."""
+
+    config_class = Gemma3Config
+
+    def __init__(self, config: Gemma3Config):
+        self.config = config
+        dh = config.head_dim
+        # global layers: linear rope scaling via rope_scaling.factor
+        inv_g = make_inv_freq(dh, config.rope_theta)
+        rs = config.rope_scaling or {}
+        if rs.get("rope_type", rs.get("type")) == "linear":
+            inv_g = inv_g / float(rs.get("factor", 1.0))
+        self.inv_freq_global = jnp.asarray(inv_g)
+        self.inv_freq_local = jnp.asarray(
+            make_inv_freq(dh, config.rope_local_base_freq)
+        )
+        pat = config.sliding_window_pattern
+        self.is_sliding = np.array(
+            [(i + 1) % pat != 0 for i in range(config.num_hidden_layers)],
+            dtype=bool,
+        )
+        self.vision = (
+            SigLipVision(config.vision) if config.vision else None
+        )
+
+    # -- params ----------------------------------------------------------
+
+    LINEAR_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+    HF_LAYER_MAP = {
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "wg": "mlp.gate_proj.weight",
+        "wu": "mlp.up_proj.weight",
+        "wd": "mlp.down_proj.weight",
+        "ln1": "input_layernorm.weight",
+        "ln2": "post_attention_layernorm.weight",
+        "ln3": "pre_feedforward_layernorm.weight",
+        "ln4": "post_feedforward_layernorm.weight",
+        "q_norm": "self_attn.q_norm.weight",
+        "k_norm": "self_attn.k_norm.weight",
+    }
+
+    def init_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.head_dim
+        hq, hkv, di = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
+        l = cfg.num_hidden_layers
+        ks = iter(jax.random.split(key, 16))
+
+        def w(k, *shape, scale=None):
+            scale = scale or (1.0 / np.sqrt(shape[-2]))
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+        params = {
+            "embed": w(next(ks), cfg.vocab_size, d, scale=0.02),
+            "layers": {
+                "wq": w(next(ks), l, d, hq * dh),
+                "wk": w(next(ks), l, d, hkv * dh),
+                "wv": w(next(ks), l, d, hkv * dh),
+                "wo": w(next(ks), l, hq * dh, d),
+                "wg": w(next(ks), l, d, di),
+                "wu": w(next(ks), l, d, di),
+                "wd": w(next(ks), l, di, d),
+                "ln1": jnp.zeros((l, d), dtype),
+                "ln2": jnp.zeros((l, d), dtype),
+                "ln3": jnp.zeros((l, d), dtype),
+                "ln4": jnp.zeros((l, d), dtype),
+                "q_norm": jnp.zeros((l, dh), dtype),
+                "k_norm": jnp.zeros((l, dh), dtype),
+            },
+            "norm": jnp.zeros((d,), dtype),
+        }
+        return params
+
+    def from_hf_state_dict(self, weights, dtype=jnp.bfloat16) -> dict:
+        cfg = self.config
+        l = cfg.num_hidden_layers
+        # VLM checkpoints prefix the text model with language_model.
+        prefix = "model.layers.{i}."
+        if not any(k.startswith("model.layers.0.") for k in weights):
+            prefix = "model.language_model.layers.{i}."
+            if not any(
+                k.startswith("model.language_model.layers.0.") for k in weights
+            ):
+                prefix = "language_model.model.layers.{i}."
+        top = prefix.split("layers")[0]
+        layers = {}
+        for name, suffix in self.HF_LAYER_MAP.items():
+            mats = []
+            for i in range(l):
+                m = np.asarray(weights[prefix.format(i=i) + suffix])
+                if name in self.LINEAR_KEYS:
+                    m = m.T
+                mats.append(m)
+            layers[name] = jnp.asarray(np.stack(mats), dtype=dtype)
+        params = {
+            "embed": jnp.asarray(weights[top + "embed_tokens.weight"], dtype=dtype),
+            "layers": layers,
+            "norm": jnp.asarray(weights[top + "norm.weight"], dtype=dtype),
+        }
+        if self.vision is not None:
+            params["vision"] = self.vision.from_hf_state_dict(weights, dtype)
+        return params
+
+    def quantize_params(self, params, group_size=64, bits=4, **kw):
+        import functools
+
+        from pie_tpu.ops.quant import quantize
+
+        out = dict(params)
+        layers = dict(params["layers"])
+        qfn = jax.jit(
+            jax.vmap(functools.partial(quantize, group_size=group_size, bits=bits))
+        )
+        for name in self.LINEAR_KEYS:
+            layers[name] = qfn(layers[name])
+        out["layers"] = layers
+        # vision tower stays fp16/bf16 (charter config #4)
+        return out
+
+    # -- embedding / head -------------------------------------------------
+
+    def embed(self, params, input_ids):
+        scale = jnp.asarray(
+            self.config.hidden_size**0.5, params["embed"].dtype
+        )
+        return params["embed"][input_ids] * scale
+
+    def unembed(self, params, h):
+        if "lm_head" in params:
+            return linear(h, params["lm_head"])
+        return jnp.einsum(
+            "btd,vd->btv", h, params["embed"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def make_cache_shape(self, batch, max_len):
+        cfg = self.config
+        return (
+            cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+
+    # -- vision -----------------------------------------------------------
+
+    def embed_with_images(self, params, input_ids, pixel_values):
+        """Text embeddings with image features scattered over the
+        image-token placeholders (reference ensemble.py:82-157)."""
+        h = self.embed(params, input_ids)
+        if pixel_values is None or self.vision is None:
+            return h
+        feats = self.vision.forward(params["vision"], pixel_values)
+        proj = self.vision.project(
+            params["vision"], feats, self.config, params
+        )  # [num_images, mm_tokens, D]
+        flat = proj.reshape(-1, proj.shape[-1]).astype(h.dtype)
+        is_img = input_ids == self.config.image_token_id
+        # assign the n-th image token position the n-th image feature row
+        idx = jnp.cumsum(is_img.reshape(-1)) - 1
+        idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+        img_emb = flat[idx].reshape(h.shape)
+        return jnp.where(is_img[..., None], img_emb, h)
+
+    # -- forward ----------------------------------------------------------
+
+    def __call__(self, params, input_ids, cache, positions,
+                 inputs_embeds=None, pixel_values=None):
+        cfg = self.config
+        dh = cfg.head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_with_images(
+                params, input_ids, pixel_values
+            )
+        h = inputs_embeds
+        b, t = h.shape[0], h.shape[1]
+        quantized = isinstance(cache, QuantizedKVCache)
+        # both masks; per-layer select via is_sliding
+        full_mask = attention_mask(positions, cache.slot_positions, None)
+        win_mask = attention_mask(
+            positions, cache.slot_positions, cfg.sliding_window
+        )
+        write_slots = cache.write_slot(positions)
+        batch_idx = jnp.arange(b)[:, None]
+        scale = float(cfg.query_pre_attn_scalar) ** -0.5
+        eps = cfg.rms_norm_eps
+        is_sliding = jnp.asarray(self.is_sliding)
+
+        def layer_fn(h, layer):
+            p, sliding = layer[0], layer[1]
+            x = _gemma_rms(h, p["ln1"], eps)
+            q = linear(x, p["wq"]).reshape(b, t, hq, dh)
+            k = linear(x, p["wk"]).reshape(b, t, hkv, dh)
+            v = linear(x, p["wv"]).reshape(b, t, hkv, dh)
+            q = _gemma_rms(q, p["q_norm"], eps)
+            k = _gemma_rms(k, p["k_norm"], eps)
+            q_g = _rope(q, positions, self.inv_freq_global)
+            k_g = _rope(k, positions, self.inv_freq_global)
+            q_l = _rope(q, positions, self.inv_freq_local)
+            k_l = _rope(k, positions, self.inv_freq_local)
+            q = jnp.where(sliding, q_l, q_g)
+            k = jnp.where(sliding, k_l, k_g)
+
+            if quantized:
+                ckq, cks, cvq, cvs = layer[2:]
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                ckq = ckq.at[batch_idx, write_slots].set(kq)
+                cks = cks.at[batch_idx, write_slots].set(ksc)
+                cvq = cvq.at[batch_idx, write_slots].set(vq)
+                cvs = cvs.at[batch_idx, write_slots].set(vsc)
+                ck = dequantize_kv(ckq, cks, q.dtype)
+                cv = dequantize_kv(cvq, cvs, q.dtype)
+                new_cache = (ckq, cks, cvq, cvs)
+            else:
+                ck, cv = layer[2:4]
+                ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
+                cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
+                new_cache = (ck, cv)
+
+            mask = jnp.where(sliding, win_mask, full_mask)
+            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+            attn = _gemma_rms(
+                linear(attn.reshape(b, t, hq * dh), p["wo"]), p["ln2"], eps
+            )
+            h = h + attn
+            x = _gemma_rms(h, p["ln3"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            mlp = linear(jax.nn.gelu(g, approximate=True) * u, p["wd"])
+            h = h + _gemma_rms(mlp, p["ln4"], eps)
+            return h, new_cache
+
+        if quantized:
+            xs = (params["layers"], is_sliding, cache.k_q, cache.k_scale,
+                  cache.v_q, cache.v_scale)
+        else:
+            xs = (params["layers"], is_sliding, cache.k, cache.v)
+        h, new_store = jax.lax.scan(layer_fn, h, xs)
+        if quantized:
+            cache = dataclasses.replace(
+                cache, k_q=new_store[0], k_scale=new_store[1],
+                v_q=new_store[2], v_scale=new_store[3],
+            )
+        else:
+            cache = dataclasses.replace(cache, k=new_store[0], v=new_store[1])
+        h = _gemma_rms(h, params["norm"], eps)
+        return self.unembed(params, h).astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# SigLIP vision tower + projector
+# ---------------------------------------------------------------------------
+
+
+class SigLipVision:
+    """SigLIP encoder (reference models/gemma/vision.py:195-246) +
+    Gemma3MultiModalProjector (ensemble.py:24-69)."""
+
+    def __init__(self, vcfg: dict):
+        self.hidden_size = vcfg.get("hidden_size", 1152)
+        self.image_size = vcfg.get("image_size", 224)
+        self.patch_size = vcfg.get("patch_size", 14)
+        self.num_layers = vcfg.get("num_hidden_layers", 27)
+        self.num_heads = vcfg.get("num_attention_heads", 16)
+        self.intermediate_size = vcfg.get("intermediate_size", 4304)
+        self.eps = vcfg.get("layer_norm_eps", 1e-6)
+        self.patches = self.image_size // self.patch_size
+
+    HF_PREFIXES = (
+        "model.vision_tower.vision_model.",
+        "vision_tower.vision_model.",
+    )
+
+    def from_hf_state_dict(self, weights, dtype=jnp.bfloat16):
+        pre = next(
+            (p for p in self.HF_PREFIXES
+             if any(k.startswith(p) for k in weights)),
+            None,
+        )
+        if pre is None:
+            return {}
+        g = lambda k: jnp.asarray(np.asarray(weights[pre + k]), dtype=dtype)
+        enc = {}
+        names = {
+            "ln1_w": "layer_norm1.weight", "ln1_b": "layer_norm1.bias",
+            "ln2_w": "layer_norm2.weight", "ln2_b": "layer_norm2.bias",
+            "wq": "self_attn.q_proj.weight", "bq": "self_attn.q_proj.bias",
+            "wk": "self_attn.k_proj.weight", "bk": "self_attn.k_proj.bias",
+            "wv": "self_attn.v_proj.weight", "bv": "self_attn.v_proj.bias",
+            "wo": "self_attn.out_proj.weight", "bo": "self_attn.out_proj.bias",
+            "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+            "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+        }
+        for ours, theirs in names.items():
+            mats = []
+            for i in range(self.num_layers):
+                m = np.asarray(
+                    weights[pre + f"encoder.layers.{i}." + theirs]
+                )
+                if ours.startswith("w") or ours.startswith("fc") and ours.endswith("_w"):
+                    if m.ndim == 2:
+                        m = m.T
+                mats.append(m)
+            enc[ours] = jnp.asarray(np.stack(mats), dtype=dtype)
+        # projector lives outside the tower
+        proj_pre = pre.replace("vision_tower.vision_model.", "")
+        def gp(k):
+            for cand in (
+                proj_pre + "multi_modal_projector." + k,
+                "multi_modal_projector." + k,
+                "model.multi_modal_projector." + k,
+            ):
+                if cand in weights:
+                    return jnp.asarray(np.asarray(weights[cand]), dtype=dtype)
+            raise KeyError(k)
+        return {
+            "patch_w": g("embeddings.patch_embedding.weight"),  # [D, 3, P, P]
+            "patch_b": g("embeddings.patch_embedding.bias"),
+            "pos": g("embeddings.position_embedding.weight"),
+            "post_ln_w": g("post_layernorm.weight"),
+            "post_ln_b": g("post_layernorm.bias"),
+            "encoder": enc,
+            "proj_norm": gp("mm_soft_emb_norm.weight"),
+            "proj_w": gp("mm_input_projection_weight"),
+        }
+
+    def forward(self, vp, pixel_values):
+        """pixel_values: [N, 3, H, W] -> [N, patches^2, D]."""
+        x = jnp.asarray(pixel_values)
+        w = vp["patch_w"].astype(x.dtype)  # [D, 3, P, P]
+        feat = jax.lax.conv_general_dilated(
+            x, w, (self.patch_size, self.patch_size), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )  # [N, D, p, p]
+        n, d, ph, pw = feat.shape
+        h = feat.reshape(n, d, ph * pw).transpose(0, 2, 1) + vp["patch_b"]
+        h = h + vp["pos"][None, : ph * pw]
+        enc = vp["encoder"]
+        heads = self.num_heads
+        hd = self.hidden_size // heads
+
+        def layer(h, p):
+            x = _ln(h, p["ln1_w"], p["ln1_b"], self.eps)
+            b, t, dd = x.shape
+            q = (x @ p["wq"] + p["bq"]).reshape(b, t, heads, hd)
+            k = (x @ p["wk"] + p["bk"]).reshape(b, t, heads, hd)
+            v = (x @ p["wv"] + p["bv"]).reshape(b, t, heads, hd)
+            attn = sdpa(q, k, v, None, hd**-0.5)
+            h = h + (attn.reshape(b, t, dd) @ p["wo"] + p["bo"])
+            x = _ln(h, p["ln2_w"], p["ln2_b"], self.eps)
+            y = jax.nn.gelu(x @ p["fc1_w"] + p["fc1_b"], approximate=True)
+            h = h + (y @ p["fc2_w"] + p["fc2_b"])
+            return h, None
+
+        h, _ = jax.lax.scan(layer, h, enc)
+        return _ln(h, vp["post_ln_w"], vp["post_ln_b"], self.eps)
+
+    def project(self, vp, feats, cfg, params):
+        """4x4 avg pool -> gemma RMSNorm -> matmul into text space
+        (reference ensemble.py:43-69)."""
+        n, t, d = feats.shape
+        p = int(t**0.5)
+        tokens_side = int(cfg.mm_tokens_per_image**0.5)
+        kernel = p // tokens_side
+        x = feats.reshape(n, p, p, d)
+        x = x.reshape(n, tokens_side, kernel, tokens_side, kernel, d).mean(
+            axis=(2, 4)
+        )
+        x = x.reshape(n, tokens_side * tokens_side, d)
+        x = _gemma_rms(x, vp["proj_norm"], 1e-6)
+        return jnp.einsum("ntd,dk->ntk", x, vp["proj_w"].astype(x.dtype))
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)

@@ -278,6 +278,13 @@ class LlamaModel:
         return params["embed"][input_ids]
 
     def unembed(self, params: dict, h: jax.Array) -> jax.Array:
+        import os
+
+        if "nohead" in os.environ.get("PIE_ABLATE", ""):
+            return jnp.broadcast_to(
+                h.sum(-1, keepdims=True),
+                h.shape[:-1] + (self.config.vocab_size,),
+            )
         if "lm_head" in params:
             return linear(h, params["lm_head"])
         return jnp.einsum(
@@ -338,15 +345,35 @@ class LlamaModel:
                 new_layer_cache = (ckq, cks, cvq, cvs)
             else:
                 ck, cv = layer[1:]
-                ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
-                cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
+                if cache.window is None:
+                    # contiguous slots: per-sequence dynamic_update_slice
+                    # lowers much better than a general scatter on TPU
+                    start = positions[:, 0]
+
+                    def write(c, kv, st):
+                        return jax.lax.dynamic_update_slice(
+                            c, kv, (st, 0, 0)
+                        )
+
+                    ck = jax.vmap(write)(ck, k.astype(ck.dtype), start)
+                    cv = jax.vmap(write)(cv, v.astype(cv.dtype), start)
+                else:
+                    ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
+                    cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
                 new_layer_cache = (ck, cv)
 
-            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+            import os as _os
+
+            _abl = _os.environ.get("PIE_ABLATE", "")
+            if "noattn" in _abl:
+                attn = q
+            else:
+                attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
             h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
 
             x = rms_norm(h, p["ln2"], eps)
-            h = h + self._mlp(p, x)
+            if "nomlp" not in _abl:
+                h = h + self._mlp(p, x)
             return h, new_layer_cache
 
         if quantized:

@@ -93,3 +93,92 @@ def _config_for(cls, cfg_dict):
         if name.endswith("Config") and name != "BaseConfig":
             return getattr(mod, name).from_dict(cfg_dict)
     raise ValueError(f"no config class found for {cls}")
+
+
+# ---------------------------------------------------------------------------
+# params (de)serialization — quantized checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_params(params: dict, path: str | Path):
+    """Persist a params pytree (dense or quantized) to safetensors +
+    a sidecar JSON describing structure (QuantizedTensor leaves carry
+    bits/group_size/shape metadata)."""
+    import jax
+
+    from pie_tpu.ops.quant import QuantizedTensor
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+    spec: dict[str, Any] = {}
+
+    def visit(prefix: str, node):
+        if isinstance(node, QuantizedTensor):
+            spec[prefix] = {
+                "kind": "quantized",
+                "bits": node.bits,
+                "group_size": node.group_size,
+                "shape": list(node.shape),
+            }
+            for f in ("packed", "scales", "biases"):
+                arr = getattr(node, f)
+                key = f"{prefix}.{f}"
+                tensors[key] = _to_np(arr, spec, key)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}.{k}" if prefix else k, v)
+        else:
+            spec[prefix] = {"kind": "array"}
+            tensors[prefix] = _to_np(node, spec, prefix)
+
+    visit("", params)
+    from safetensors.numpy import save_file
+
+    save_file(tensors, str(path), metadata={"pie": json.dumps(spec)})
+
+
+def _to_np(arr, spec, key):
+    import jax.numpy as jnp
+
+    a = np.asarray(arr.astype(jnp.float32) if arr.dtype == jnp.bfloat16 else arr)
+    if arr.dtype == jnp.bfloat16:
+        spec.setdefault("__bf16__", []).append(key)
+    return a
+
+
+def load_params(path: str | Path) -> dict:
+    import jax.numpy as jnp
+    from safetensors import safe_open
+    from safetensors.numpy import load_file
+
+    from pie_tpu.ops.quant import QuantizedTensor
+
+    with safe_open(str(path), framework="np") as f:
+        spec = json.loads((f.metadata() or {}).get("pie", "{}"))
+    data = load_file(str(path))
+    bf16 = set(spec.pop("__bf16__", []))
+
+    def as_jnp(key):
+        arr = jnp.asarray(data[key])
+        return arr.astype(jnp.bfloat16) if key in bf16 else arr
+
+    out: dict = {}
+    for key, info in spec.items():
+        parts = key.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        leaf = parts[-1]
+        if info["kind"] == "quantized":
+            node[leaf] = QuantizedTensor(
+                packed=as_jnp(f"{key}.packed"),
+                scales=as_jnp(f"{key}.scales"),
+                biases=as_jnp(f"{key}.biases"),
+                bits=info["bits"],
+                group_size=info["group_size"],
+                shape=tuple(info["shape"]),
+            )
+        else:
+            node[leaf] = as_jnp(key)
+    return out

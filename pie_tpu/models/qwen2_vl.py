@@ -1,0 +1,449 @@
+"""Qwen2-VL: text decoder with M-RoPE + full-attention ViT tower with 2D
+rotary embeddings and a 2x2 PatchMerger.
+
+Reference parity: models/intern/ (P15 in SURVEY.md §2.1) — Qwen2 text
+decoder (biased q/k/v, rope base 1e6, mrope validation language.py:27-33),
+vision tower with 3D patch embed + 2D rotary (vision.py:241-275), PatchMerger
+spatial merge (vision.py:124-140), image-token scatter into embeddings
+(ensemble.py:62-91).
+
+TPU-first: the decoder is one lax.scan (same cache machinery as llama);
+M-RoPE is computed per-dimension from 3 position streams — text-only tokens
+collapse to standard RoPE so decode needs no special casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, dequantize_kv, quantize_kv
+from pie_tpu.models.config import BaseConfig, _filter_kwargs
+from pie_tpu.models.registry import register_model
+from pie_tpu.ops.attention import attention_mask, sdpa
+from pie_tpu.ops.rope import make_inv_freq
+from pie_tpu.models.llama import linear, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2VLConfig(BaseConfig):
+    model_type: str = "qwen2_vl"
+    hidden_size: int = 3584
+    num_hidden_layers: int = 28
+    intermediate_size: int = 18944
+    num_attention_heads: int = 28
+    num_key_value_heads: int = 4
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    vocab_size: int = 152064
+    rope_theta: float = 1000000.0
+    mrope_section: tuple = (16, 24, 24)
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 32768
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision: Optional[dict] = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Qwen2VLConfig":
+        dd = dict(d)
+        rs = dd.get("rope_scaling") or {}
+        if "mrope_section" in rs:
+            dd["mrope_section"] = tuple(rs["mrope_section"])
+        if "vision_config" in dd:
+            dd["vision"] = dd["vision_config"]
+        return cls(**_filter_kwargs(cls, dd))
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+
+def apply_mrope(x, positions3, inv_freq, sections):
+    """M-RoPE: positions3 [3, B, T] (t/h/w streams); each frequency dim j is
+    driven by the stream owning it per ``sections`` (halves of head_dim).
+
+    x: [B, T, H, D]."""
+    d2 = x.shape[-1] // 2
+    sec = np.asarray(sections)
+    stream_for_dim = np.repeat(np.arange(3), sec)  # [d2]
+    pos = positions3[stream_for_dim, :, :]  # [d2, B, T]
+    freqs = pos.astype(jnp.float32) * inv_freq[:, None, None]
+    cos = jnp.cos(freqs).transpose(1, 2, 0)[:, :, None, :]  # [B,T,1,d2]
+    sin = jnp.sin(freqs).transpose(1, 2, 0)[:, :, None, :]
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+    return out.astype(x.dtype)
+
+
+def text_positions3(positions):
+    """Text-only tokens: all three streams share the position."""
+    return jnp.broadcast_to(positions[None], (3,) + positions.shape)
+
+
+@register_model("qwen2_vl")
+class Qwen2VLModel:
+    config_class = Qwen2VLConfig
+
+    def __init__(self, config: Qwen2VLConfig):
+        self.config = config
+        self.inv_freq = jnp.asarray(
+            make_inv_freq(config.resolved_head_dim, config.rope_theta)
+        )
+        self.vision = (
+            Qwen2VisionTower(config.vision) if config.vision else None
+        )
+
+    LINEAR_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+    HF_LAYER_MAP = {
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "wg": "mlp.gate_proj.weight",
+        "wu": "mlp.up_proj.weight",
+        "wd": "mlp.down_proj.weight",
+        "ln1": "input_layernorm.weight",
+        "ln2": "post_attention_layernorm.weight",
+    }
+    HF_BIAS_MAP = {
+        "bq": "self_attn.q_proj.bias",
+        "bk": "self_attn.k_proj.bias",
+        "bv": "self_attn.v_proj.bias",
+    }
+
+    def from_hf_state_dict(self, weights, dtype=jnp.bfloat16) -> dict:
+        cfg = self.config
+        l = cfg.num_hidden_layers
+        prefix = "model.layers.{i}."
+        top = "model."
+        if not any(k.startswith("model.layers.0.") for k in weights):
+            prefix = "model.language_model.layers.{i}."
+            top = "model.language_model."
+        layers = {}
+        for name, suffix in {**self.HF_LAYER_MAP, **self.HF_BIAS_MAP}.items():
+            mats = []
+            for i in range(l):
+                m = np.asarray(weights[prefix.format(i=i) + suffix])
+                if name in self.LINEAR_KEYS:
+                    m = m.T
+                mats.append(m)
+            layers[name] = jnp.asarray(np.stack(mats), dtype=dtype)
+        params = {
+            "embed": jnp.asarray(weights[top + "embed_tokens.weight"], dtype=dtype),
+            "layers": layers,
+            "norm": jnp.asarray(weights[top + "norm.weight"], dtype=dtype),
+        }
+        if not cfg.tie_word_embeddings and "lm_head.weight" in weights:
+            params["lm_head"] = jnp.asarray(
+                np.asarray(weights["lm_head.weight"]).T, dtype=dtype
+            )
+        if self.vision is not None:
+            params["vision"] = self.vision.from_hf_state_dict(weights, dtype)
+        return params
+
+    def quantize_params(self, params, group_size=64, bits=4, **kw):
+        import functools
+
+        from pie_tpu.ops.quant import quantize
+
+        out = dict(params)
+        layers = dict(params["layers"])
+        qfn = jax.jit(
+            jax.vmap(functools.partial(quantize, group_size=group_size, bits=bits))
+        )
+        for name in self.LINEAR_KEYS:
+            layers[name] = qfn(layers[name])
+        out["layers"] = layers
+        if "lm_head" in params:
+            out["lm_head"] = quantize(params["lm_head"], group_size, bits)
+        return out
+
+    def embed(self, params, input_ids):
+        return params["embed"][input_ids]
+
+    def unembed(self, params, h):
+        if "lm_head" in params:
+            return linear(h, params["lm_head"])
+        return jnp.einsum(
+            "btd,vd->btv", h, params["embed"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def make_cache_shape(self, batch, max_len):
+        cfg = self.config
+        return (
+            cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+            cfg.resolved_head_dim,
+        )
+
+    def embed_with_images(self, params, input_ids, pixel_values, grid_thw):
+        h = self.embed(params, input_ids)
+        if pixel_values is None or self.vision is None:
+            return h
+        feats = self.vision.forward(
+            params["vision"], pixel_values, grid_thw
+        )  # [total_merged_tokens, D_text]
+        is_img = (input_ids == self.config.image_token_id) | (
+            input_ids == self.config.video_token_id
+        )
+        idx = jnp.cumsum(is_img.reshape(-1)) - 1
+        idx = jnp.clip(idx, 0, feats.shape[0] - 1)
+        img = feats[idx].reshape(h.shape).astype(h.dtype)
+        return jnp.where(is_img[..., None], img, h)
+
+    def __call__(self, params, input_ids, cache, positions,
+                 inputs_embeds=None, pixel_values=None, grid_thw=None,
+                 positions3=None):
+        cfg = self.config
+        dh = cfg.resolved_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_with_images(
+                params, input_ids, pixel_values, grid_thw
+            )
+        h = inputs_embeds
+        b, t = h.shape[0], h.shape[1]
+        if positions3 is None:
+            positions3 = text_positions3(positions)
+        quantized = isinstance(cache, QuantizedKVCache)
+        mask = attention_mask(positions, cache.slot_positions, None)
+        write_slots = cache.write_slot(positions)
+        batch_idx = jnp.arange(b)[:, None]
+        scale = dh**-0.5
+        eps = cfg.rms_norm_eps
+        sections = tuple(cfg.mrope_section)
+
+        def layer_fn(h, layer):
+            p = layer[0]
+            x = rms_norm(h, p["ln1"], eps)
+            q = linear(x, p["wq"], p.get("bq")).reshape(b, t, hq, dh)
+            k = linear(x, p["wk"], p.get("bk")).reshape(b, t, hkv, dh)
+            v = linear(x, p["wv"], p.get("bv")).reshape(b, t, hkv, dh)
+            q = apply_mrope(q, positions3, self.inv_freq, sections)
+            k = apply_mrope(k, positions3, self.inv_freq, sections)
+
+            if quantized:
+                ckq, cks, cvq, cvs = layer[1:]
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                ckq = ckq.at[batch_idx, write_slots].set(kq)
+                cks = cks.at[batch_idx, write_slots].set(ksc)
+                cvq = cvq.at[batch_idx, write_slots].set(vq)
+                cvs = cvs.at[batch_idx, write_slots].set(vsc)
+                ck = dequantize_kv(ckq, cks, q.dtype)
+                cv = dequantize_kv(cvq, cvs, q.dtype)
+                new_cache = (ckq, cks, cvq, cvs)
+            else:
+                ck, cv = layer[1:3]
+                ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
+                cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
+                new_cache = (ck, cv)
+
+            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+            h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
+            x = rms_norm(h, p["ln2"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            h = h + linear(jax.nn.silu(g) * u, p["wd"])
+            return h, new_cache
+
+        if quantized:
+            xs = (params["layers"], cache.k_q, cache.k_scale, cache.v_q,
+                  cache.v_scale)
+        else:
+            xs = (params["layers"], cache.k, cache.v)
+        h, new_store = jax.lax.scan(layer_fn, h, xs)
+        if quantized:
+            cache = dataclasses.replace(
+                cache, k_q=new_store[0], k_scale=new_store[1],
+                v_q=new_store[2], v_scale=new_store[3],
+            )
+        else:
+            cache = dataclasses.replace(cache, k=new_store[0], v=new_store[1])
+        h = rms_norm(h, params["norm"], eps)
+        return self.unembed(params, h).astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# host-side m-rope index computation (reference get_rope_index analog)
+# ---------------------------------------------------------------------------
+
+
+def mrope_positions(
+    input_ids: np.ndarray,
+    image_token_id: int,
+    grid_thw: Optional[np.ndarray],
+    spatial_merge_size: int = 2,
+) -> np.ndarray:
+    """[3, B, T] t/h/w position streams (HF Qwen2-VL get_rope_index
+    semantics for image sequences)."""
+    b, t = input_ids.shape
+    out = np.zeros((3, b, t), np.int64)
+    for bi in range(b):
+        ids = input_ids[bi]
+        pos = 0  # running text position
+        img_i = 0
+        j = 0
+        while j < t:
+            if grid_thw is not None and ids[j] == image_token_id:
+                tt, hh, ww = grid_thw[img_i]
+                hh2, ww2 = hh // spatial_merge_size, ww // spatial_merge_size
+                n = tt * hh2 * ww2
+                tpos = np.repeat(np.arange(tt), hh2 * ww2)
+                hpos = np.tile(np.repeat(np.arange(hh2), ww2), tt)
+                wpos = np.tile(np.arange(ww2), tt * hh2)
+                out[0, bi, j : j + n] = pos + tpos
+                out[1, bi, j : j + n] = pos + hpos
+                out[2, bi, j : j + n] = pos + wpos
+                pos = pos + int(max(tt, hh2, ww2))
+                j += n
+                img_i += 1
+            else:
+                out[:, bi, j] = pos
+                pos += 1
+                j += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+# ---------------------------------------------------------------------------
+
+
+class Qwen2VisionTower:
+    """Qwen2-VL ViT: 3D patch embed, 2D rotary, full attention, 2x2
+    PatchMerger (reference models/intern/vision.py:216-460)."""
+
+    def __init__(self, vcfg: dict):
+        self.embed_dim = vcfg.get("embed_dim", vcfg.get("hidden_size", 1280))
+        self.depth = vcfg.get("depth", vcfg.get("num_hidden_layers", 32))
+        self.num_heads = vcfg.get("num_heads", vcfg.get("num_attention_heads", 16))
+        self.patch_size = vcfg.get("patch_size", 14)
+        self.temporal_patch_size = vcfg.get("temporal_patch_size", 2)
+        self.spatial_merge_size = vcfg.get("spatial_merge_size", 2)
+        self.mlp_ratio = vcfg.get("mlp_ratio", 4)
+        self.out_hidden = vcfg.get("hidden_size", 3584)
+        self.in_channels = vcfg.get("in_channels", 3)
+
+    def from_hf_state_dict(self, weights, dtype=jnp.bfloat16):
+        pre = "visual." if any(k.startswith("visual.") for k in weights) \
+            else "model.visual."
+        g = lambda k: jnp.asarray(np.asarray(weights[pre + k]), dtype=dtype)
+        blocks = {}
+        names = {
+            "ln1_w": "norm1.weight", "ln1_b": "norm1.bias",
+            "ln2_w": "norm2.weight", "ln2_b": "norm2.bias",
+            "qkv_w": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
+            "proj_w": "attn.proj.weight", "proj_b": "attn.proj.bias",
+            "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+            "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+        }
+        for ours, theirs in names.items():
+            mats = []
+            for i in range(self.depth):
+                m = np.asarray(weights[pre + f"blocks.{i}." + theirs])
+                if m.ndim == 2:
+                    m = m.T
+                mats.append(m)
+            blocks[ours] = jnp.asarray(np.stack(mats), dtype=dtype)
+        return {
+            "patch_w": g("patch_embed.proj.weight"),  # [D, C, Tp, P, P]
+            "blocks": blocks,
+            "merger_ln_w": g("merger.ln_q.weight"),
+            "merger_ln_b": g("merger.ln_q.bias"),
+            "merger_fc1_w": g("merger.mlp.0.weight").T,
+            "merger_fc1_b": g("merger.mlp.0.bias"),
+            "merger_fc2_w": g("merger.mlp.2.weight").T,
+            "merger_fc2_b": g("merger.mlp.2.bias"),
+        }
+
+    def _rot_pos(self, grid_thw: np.ndarray) -> np.ndarray:
+        """[total_patches, head_dim//2] rotary angles source positions,
+        following HF rot_pos_emb: half dims h, half dims w, with window-free
+        ordering h-major inside each frame."""
+        out = []
+        m = self.spatial_merge_size
+        for tt, hh, ww in grid_thw:
+            hpos = np.arange(hh).reshape(hh // m, m, 1, 1)
+            hpos = np.broadcast_to(hpos, (hh // m, m, ww // m, m))
+            hpos = hpos.reshape(-1)
+            wpos = np.arange(ww).reshape(1, 1, ww // m, m)
+            wpos = np.broadcast_to(wpos, (hh // m, m, ww // m, m)).reshape(-1)
+            hw = np.stack([hpos, wpos], -1)  # [hh*ww, 2]
+            out.append(np.tile(hw, (tt, 1)))
+        return np.concatenate(out, 0)
+
+    def forward(self, vp, pixel_values, grid_thw):
+        """pixel_values: [total_patches, C*Tp*P*P] (HF flattened layout);
+        grid_thw: [n_images, 3]. Returns merged tokens [N_merged, out_hidden]."""
+        x = jnp.asarray(pixel_values)
+        pw = vp["patch_w"].astype(x.dtype)
+        d = pw.shape[0]
+        kernel = pw.reshape(d, -1)  # [D, C*Tp*P*P]
+        h = x @ kernel.T  # patch embedding == conv over flattened patches
+        grid = np.asarray(grid_thw)
+        hw = self._rot_pos(grid)  # [N, 2]
+        head_dim = self.embed_dim // self.num_heads
+        half = head_dim // 2
+        inv = 1.0 / (
+            10000.0 ** (np.arange(0, half, 2, dtype=np.float64) / half)
+        )
+        hfreq = hw[:, 0:1] * inv[None]  # [N, half/2]
+        wfreq = hw[:, 1:2] * inv[None]
+        freqs = np.concatenate([hfreq, wfreq], -1)  # [N, half]
+        cos = jnp.asarray(np.cos(freqs), jnp.float32)
+        sin = jnp.asarray(np.sin(freqs), jnp.float32)
+        heads = self.num_heads
+
+        def rot(v):
+            # v: [N, heads, head_dim]; rotate-half with freqs duplicated
+            d2 = head_dim // 2
+            c = jnp.concatenate([cos, cos], -1)[:, None, :]
+            s = jnp.concatenate([sin, sin], -1)[:, None, :]
+            v1 = v[..., :d2].astype(jnp.float32)
+            v2 = v[..., d2:].astype(jnp.float32)
+            return jnp.concatenate(
+                [v1 * c[..., :d2] - v2 * s[..., :d2],
+                 v2 * c[..., d2:] + v1 * s[..., d2:]], -1
+            ).astype(v.dtype)
+
+        blocks = vp["blocks"]
+
+        def layer(h, p):
+            x = _ln(h, p["ln1_w"], p["ln1_b"], 1e-6)
+            n, dd = x.shape
+            qkv = (x @ p["qkv_w"] + p["qkv_b"]).reshape(n, 3, heads, head_dim)
+            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            q, k = rot(q), rot(k)
+            attn = sdpa(
+                q[None], k[None], v[None], None, head_dim**-0.5
+            )[0]
+            h = h + (attn.reshape(n, dd) @ p["proj_w"] + p["proj_b"])
+            x = _ln(h, p["ln2_w"], p["ln2_b"], 1e-6)
+            y = jax.nn.gelu(x @ p["fc1_w"] + p["fc1_b"], approximate=False)
+            h = h + (y @ p["fc2_w"] + p["fc2_b"])
+            return h, None
+
+        h, _ = jax.lax.scan(layer, h, blocks)
+        # PatchMerger: ln + group 2x2 + MLP
+        h = _ln(h, vp["merger_ln_w"], vp["merger_ln_b"], 1e-6)
+        m2 = self.spatial_merge_size**2
+        h = h.reshape(-1, m2 * self.embed_dim)
+        y = jax.nn.gelu(
+            h @ vp["merger_fc1_w"] + vp["merger_fc1_b"], approximate=False
+        )
+        return y @ vp["merger_fc2_w"] + vp["merger_fc2_b"]
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)

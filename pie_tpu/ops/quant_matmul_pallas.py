@@ -9,14 +9,16 @@ models/base.py:56-89 which relied on MLX's fused kernels):
 
 - grid = (M tiles, N tiles, K tiles), K innermost; f32 accumulator in VMEM
   scratch, written out once on the final K step.
-- each K step streams a packed uint32 block from HBM (the bandwidth-critical
-  tensor: K*N*bits/8 bytes total), unpacks it with VPU shifts into ``ep``
-  contiguous row blocks, concatenates along sublanes (cheap — the tile-strided
-  pack order makes the concatenation restore original row order), applies
-  per-group scale and bias by row-broadcast, and feeds one large
-  [BK, BN] bf16 tile to the MXU.
-- bias is folded into the dequantized tile (w = q*s + b), so a single dot per
-  step produces the exact affine result.
+- each K step streams a packed uint32 block from HBM and walks it one
+  512-row pack tile at a time: VPU shifts unpack ``ep`` nibble blocks, a
+  single sublane concatenate restores row order (the tile-strided pack makes
+  that free), dequantization runs in bf16 (codes <= 255 are exact in bf16),
+  and each pack tile feeds the MXU immediately — intermediates stay at
+  [PACK_TILE_K, bn] so K/N tiles can be large. Decode-shaped calls (small M)
+  use big K x N tiles: per-grid-step fixed costs, not bandwidth, dominate
+  small-tile launches.
+- bias is folded into the dequantized tile (w = q*s + b), so the dot
+  produces the exact affine result.
 """
 
 from __future__ import annotations
@@ -30,16 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pie_tpu.ops.quant import PACK_TILE_K, QuantizedTensor
 
-# Default tile sizes. BK must be a multiple of PACK_TILE_K.
+# Default tile sizes (prefill / large-M). Decode-sized calls override.
 DEFAULT_BM = 256
 DEFAULT_BN = 512
 DEFAULT_BK = 512
-
-
-def _repeat_rows(a: jax.Array, r: int) -> jax.Array:
-    """Repeat each row of [G, N] r times -> [G*r, N] (broadcast + reshape)."""
-    g, n = a.shape
-    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
+# Decode (small M): fewer, larger grid steps.
+DECODE_BN = 1024
+DECODE_BK = 2048
 
 
 def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
@@ -55,35 +54,44 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
 
     n_tiles = bk // PACK_TILE_K
     kpt = PACK_TILE_K // ep  # packed rows per pack tile
-    s = scales_ref[:].astype(jnp.float32)
-    b = biases_ref[:].astype(jnp.float32)
-    srep = _repeat_rows(s, group_size)  # [bk, bn]
-    brep = _repeat_rows(b, group_size)
-
-    w_parts = []
-    for t in range(n_tiles):
-        pk = packed_ref[t * kpt:(t + 1) * kpt, :]  # [kpt, bn] uint32
-        for i in range(ep):
-            nib = (pk >> jnp.uint32(bits * i)) & mask
-            w_parts.append(nib.astype(jnp.int32))
-    wq = jnp.concatenate(w_parts, axis=0).astype(jnp.float32)  # [bk, bn]
-    wd = (wq * srep + brep).astype(jnp.bfloat16)
+    gpt = PACK_TILE_K // group_size  # groups per pack tile
 
     xb = x_ref[:].astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(xb, wd, preferred_element_type=jnp.float32)
+    acc = acc_ref[:]
+    for t in range(n_tiles):
+        pk = packed_ref[t * kpt:(t + 1) * kpt, :]  # [kpt, bn] uint32
+        parts = []
+        for i in range(ep):
+            nib = ((pk >> jnp.uint32(bits * i)) & mask).astype(jnp.int32)
+            parts.append(nib.astype(jnp.bfloat16))
+        wq = jnp.concatenate(parts, axis=0)  # [PACK_TILE_K, bn] bf16
+        s = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.bfloat16)
+        b = biases_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.bfloat16)
+        srep = _repeat_rows(s, group_size)
+        brep = _repeat_rows(b, group_size)
+        wd = wq * srep + brep
+        xt = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K]
+        acc = acc + jnp.dot(xt, wd, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _repeat_rows(a: jax.Array, r: int) -> jax.Array:
+    """Repeat each row of [G, N] r times -> [G*r, N] (broadcast + reshape)."""
+    g, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
 def quant_matmul_pallas(
     x: jax.Array,
     qt: QuantizedTensor,
-    bm: int = DEFAULT_BM,
-    bn: int = DEFAULT_BN,
-    bk: int = DEFAULT_BK,
+    bm: int | None = None,
+    bn: int | None = None,
+    bk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """x: [M, K_padded] -> [M, N]. K_padded = qt.padded_k."""
@@ -92,6 +100,14 @@ def quant_matmul_pallas(
     n = qt.shape[1]
     ep = qt.el_per_int
     g = qt.group_size
+
+    decode = m <= 32
+    if bm is None:
+        bm = DEFAULT_BM
+    if bn is None:
+        bn = DECODE_BN if decode else DEFAULT_BN
+    if bk is None:
+        bk = DECODE_BK if decode else DEFAULT_BK
     assert bk % PACK_TILE_K == 0
 
     bm = min(bm, _round_up(m, 8))

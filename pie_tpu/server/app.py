@@ -102,6 +102,9 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
     )
 
     if not req.stream:
+        from pie_tpu.utils.metrics import Timer, get_metrics
+
+        timer = Timer()
         try:
             inter = await _run_blocking(
                 app, engine.chat, interactions, tools=tools,
@@ -112,7 +115,11 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
                 logprobs=bool(req.logprobs), **kw,
             )
         except (InferenceError, ValueError) as e:
+            get_metrics().record_request(0, 0, None, timer.elapsed, error=True)
             return _err(400, str(e))
+        get_metrics().record_request(
+            inter.prompt_tokens, inter.completion_tokens, None, timer.elapsed
+        )
         return web.json_response(_chat_response(engine, req, inter).model_dump(exclude_none=True))
 
     # -- SSE streaming (reference chat.py:160-249) --
@@ -411,6 +418,15 @@ async def handle_health(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
 
+async def handle_metrics(request: web.Request) -> web.Response:
+    from pie_tpu.utils.metrics import get_metrics
+
+    return web.Response(
+        text=get_metrics().render(),
+        content_type="text/plain",
+    )
+
+
 def create_app(
     engine: Optional[InferenceEngine] = None,
     settings: Optional[Settings] = None,
@@ -453,4 +469,5 @@ def create_app(
     app.router.add_post("/v1/completions", handle_completions)
     app.router.add_post("/v1/responses", handle_responses)
     app.router.add_get("/health", handle_health)
+    app.router.add_get("/metrics", handle_metrics)
     return app
