@@ -184,3 +184,28 @@ def make_kv_cache(
     return cls.create(
         num_layers, batch, capacity, num_kv_heads, head_dim, dtype, window
     )
+
+
+def maybe_quantize(
+    cache: KVCache, threshold_tokens: int = 4096
+) -> "KVCache | QuantizedKVCache":
+    """Convert a bf16 cache to INT8 storage once any sequence crosses the
+    token threshold (reference cache/kv_cache/__init__.py:241-265
+    maybe_quantize: convert-after-threshold for long contexts)."""
+    import numpy as np
+
+    if isinstance(cache, QuantizedKVCache):
+        return cache
+    if int(np.max(np.asarray(cache.length))) < threshold_tokens:
+        return cache
+    k_q, k_scale = quantize_kv(cache.k)
+    v_q, v_scale = quantize_kv(cache.v)
+    return QuantizedKVCache(
+        k_q=k_q,
+        k_scale=k_scale,
+        v_q=v_q,
+        v_scale=v_scale,
+        slot_positions=cache.slot_positions,
+        length=cache.length,
+        window=cache.window,
+    )

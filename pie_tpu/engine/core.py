@@ -124,12 +124,12 @@ class EngineCore:
 
         self._prefill = jax.jit(
             self._prefill_impl, donate_argnames=("state",),
-            static_argnames=("return_logprobs",),
+            static_argnames=("return_logprobs", "sampler_kind"),
         )
         self._decode = jax.jit(
             self._decode_impl,
             donate_argnames=("state",),
-            static_argnames=("num_steps", "return_logprobs"),
+            static_argnames=("num_steps", "return_logprobs", "sampler_kind"),
         )
 
     # ------------------------------------------------------------------
@@ -187,6 +187,7 @@ class EngineCore:
         bias_vals,
         allowed_mask=None,
         return_logprobs: bool = False,
+        sampler_kind: str = "auto",
     ):
         """Run the prompt through the model, sample the first new token."""
         b, t = input_ids.shape
@@ -216,7 +217,7 @@ class EngineCore:
             last_logits, hist, penalties, bias_ids, bias_vals, allowed_mask
         )
         key, sub = jax.random.split(state.key)
-        token = sample(proc, sampling, sub)
+        token = sample(proc, sampling, sub, kind=sampler_kind)
         lengths = first_pos + prompt_lens
 
         new_state = DecodeState(
@@ -247,6 +248,7 @@ class EngineCore:
         allowed_mask=None,  # [B, V] or None — constrained decoding mask
         num_steps: int = 8,
         return_logprobs: bool = False,
+        sampler_kind: str = "auto",
     ):
         """Scan ``num_steps`` decode steps; done lanes emit PAD and freeze."""
 
@@ -269,7 +271,7 @@ class EngineCore:
             if "nosample" in ABLATE:
                 token = logits[:, :8].argmax(-1).astype(jnp.int32)
             else:
-                token = sample(proc, sampling, sub)
+                token = sample(proc, sampling, sub, kind=sampler_kind)
             token = jnp.where(active, token, state.last_token)
             # stop ids are -1 padded; real tokens are >= 0 so pads never match
             hit_stop = jnp.any(token[:, None] == stop_ids[None, :], axis=1)

@@ -201,6 +201,12 @@ class InferenceEngine:
         sampling = self._sampling(kw)
         penalties = self._penalties(kw)
         bias_ids, bias_vals = self._bias(kw)
+        from pie_tpu.ops.sampling import sampler_kind_for
+
+        skind = sampler_kind_for(
+            sampling.temperature, sampling.top_p, sampling.min_p,
+            sampling.top_k,
+        )
         stop = jnp.asarray(
             np.asarray(list(stop_token_ids) or [PAD_TOKEN], np.int32)
         )
@@ -216,6 +222,7 @@ class InferenceEngine:
             bias_ids,
             bias_vals,
             return_logprobs=logprobs,
+            sampler_kind=skind,
         )
 
         out_tokens: list[int] = []
@@ -271,6 +278,7 @@ class InferenceEngine:
                 stop,
                 num_steps=steps,
                 return_logprobs=logprobs,
+                sampler_kind=skind,
             )
             emitted = np.asarray(outs[0])[:, 0]  # [steps]
             if logprobs:

@@ -114,7 +114,10 @@ class PagedEngine:
         self.key = jax.random.PRNGKey(seed)
 
         self._prefill = jax.jit(self._prefill_impl, donate_argnames=("pool",))
-        self._decode = jax.jit(self._decode_impl, donate_argnames=("pool",))
+        self._decode = jax.jit(
+            self._decode_impl, donate_argnames=("pool",),
+            static_argnames=("sampler_kind",),
+        )
         self._sample_first = jax.jit(self._sample_first_impl)
 
     # -- device programs -------------------------------------------------
@@ -138,7 +141,7 @@ class PagedEngine:
 
     def _decode_impl(self, params, pool, last_tokens, context_lens,
                      block_tables, histories, sampling, pen_rep, pen_pres,
-                     pen_freq, active, key):
+                     pen_freq, active, key, sampler_kind="auto"):
         """One batched decode step over all lanes. Inactive lanes compute
         with context_len 1 (cheap) and their results are masked out."""
         b = last_tokens.shape[0]
@@ -154,7 +157,7 @@ class PagedEngine:
         logits = repetition_penalty(logits, histories, pen_rep)
         logits = presence_frequency_penalty(logits, histories, pen_pres, pen_freq)
         key, sub = jax.random.split(key)
-        tokens = sample(logits, sampling, sub)
+        tokens = sample(logits, sampling, sub, kind=sampler_kind)
         tokens = jnp.where(active, tokens, PAD_TOKEN)
         return tokens, pool, key
 
@@ -340,6 +343,12 @@ class Scheduler:
             min_p=jnp.asarray(self.samp["min_p"]),
             top_k=jnp.asarray(self.samp["top_k"]),
         )
+        from pie_tpu.ops.sampling import sampler_kind_for
+
+        skind = sampler_kind_for(
+            self.samp["temperature"][lanes], self.samp["top_p"][lanes],
+            self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+        )
         tokens, e.pool, e.key = e._decode(
             e.params,
             e.pool,
@@ -353,6 +362,7 @@ class Scheduler:
             jnp.asarray(self.pen["frequency"]),
             jnp.asarray(active),
             e.key,
+            sampler_kind=skind,
         )
         tokens = np.asarray(tokens)
         finished = []

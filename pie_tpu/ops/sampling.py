@@ -111,20 +111,58 @@ def _sample_nofilter(logits, params, key):
     return jnp.where(params.temperature <= 0.0, greedy, sampled)
 
 
+def _sample_greedy(logits, params, key):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+SAMPLER_KINDS = {
+    "greedy": _sample_greedy,
+    "categorical": _sample_nofilter,
+    "filtered": _sample_sorted,
+}
+
+
+def sampler_kind_for(
+    temperature, top_p, min_p, top_k
+) -> str:
+    """Host-side static sampler selection from (scalar or array) params:
+    the cheapest compiled program that covers every sequence in the batch.
+    Static dispatch avoids paying the full-vocab argsort on batches that
+    never use a truncation filter."""
+    import numpy as np
+
+    t = np.asarray(temperature)
+    active = t > 0.0
+    if not active.any():
+        return "greedy"
+    if (
+        (np.asarray(top_k) > 0) & active
+    ).any() or (
+        (np.asarray(top_p) < 1.0) & active
+    ).any() or (
+        (np.asarray(min_p) > 0.0) & active
+    ).any():
+        return "filtered"
+    return "categorical"
+
+
 def sample(
     logits: jax.Array,
     params: SamplingParams,
     key: jax.Array,
+    kind: str = "auto",
 ) -> jax.Array:
     """Fused batched sampler: temperature / top-k / top-p / min-p /
     categorical via Gumbel-max; temperature==0 selects greedy argmax.
 
-    The expensive vocab argsort runs only when some sequence actually uses
-    a truncation filter — the all-greedy / plain-categorical batch takes an
-    argmax-only fast path (runtime lax.cond, no recompiles).
+    ``kind`` statically picks the compiled path ("greedy" / "categorical" /
+    "filtered"); "auto" keeps a runtime lax.cond for callers whose params
+    are only known on device.
 
     logits: [B, V] f32. Returns token ids [B] int32.
     """
+    if kind != "auto":
+        return SAMPLER_KINDS[kind](logits, params, key)
     active = params.temperature > 0.0
     any_filter = jnp.any(
         active
