@@ -1,0 +1,462 @@
+"""ctypes binding + driver for the native C++ continuous-batching scheduler.
+
+Reference parity: pie_core's Scheduler was specified (reference
+include/engine/scheduler.hpp:27-43) but its step() was never implemented
+(src/engine/scheduler.cpp:22-27). Here the whole host side — admission,
+sequence lifecycle, page tables, chunked-prefill cursors, per-sequence
+sampling/logits/stop params, penalty histories, stop checks — runs in the
+native library (native/src/scheduler.cpp); Python only moves fixed-shape
+lane arrays to the device and launches the jitted programs, exactly the
+split the reference intended between its C++ engine process and its
+(Metal) device kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+from typing import Callable, Optional
+
+import numpy as np
+
+from pie_tpu.runtime.allocator import load_native
+
+logger = logging.getLogger(__name__)
+
+_FINISH_REASONS = {
+    0: None,
+    1: "stop",
+    2: "length",
+    3: "cancelled",
+    4: "error: out of pages",
+}
+
+_sched_protos_done = False
+
+
+def _bind_scheduler(lib) -> None:
+    global _sched_protos_done
+    if _sched_protos_done:
+        return
+    c = ctypes
+    p_i32 = c.POINTER(c.c_int32)
+    p_u8 = c.POINTER(c.c_uint8)
+    p_u32 = c.POINTER(c.c_uint32)
+    p_u64 = c.POINTER(c.c_uint64)
+    p_f32 = c.POINTER(c.c_float)
+    lib.pie_sched_create.restype = c.c_void_p
+    lib.pie_sched_create.argtypes = [c.c_uint32] * 5
+    lib.pie_sched_destroy.argtypes = [c.c_void_p]
+    lib.pie_sched_submit.restype = c.c_uint64
+    lib.pie_sched_submit.argtypes = [
+        c.c_void_p, p_i32, c.c_uint32, c.c_uint32, p_i32, c.c_uint32,
+        c.c_float, c.c_float, c.c_float, c.c_int32, c.c_float, c.c_float,
+        c.c_float, c.c_uint64,
+    ]
+    lib.pie_sched_cancel.restype = c.c_int32
+    lib.pie_sched_cancel.argtypes = [c.c_void_p, c.c_uint64]
+    lib.pie_sched_begin_step.restype = c.c_uint32
+    lib.pie_sched_begin_step.argtypes = [c.c_void_p]
+    lib.pie_sched_next_prefill.restype = c.c_int32
+    lib.pie_sched_next_prefill.argtypes = [
+        c.c_void_p, p_u32, p_u64, p_i32, p_u32, p_u32, p_u32, p_u8,
+    ]
+    lib.pie_sched_commit_first.argtypes = [c.c_void_p, c.c_uint32, c.c_int32]
+    lib.pie_sched_decode_view.restype = c.c_uint32
+    lib.pie_sched_decode_view.argtypes = [
+        c.c_void_p, p_i32, p_i32, p_i32, p_u8, p_i32, p_f32, p_f32, p_f32,
+        p_i32, p_f32, p_f32, p_f32,
+    ]
+    lib.pie_sched_commit_decode.argtypes = [c.c_void_p, p_i32]
+    lib.pie_sched_pop_finished.restype = c.c_uint32
+    lib.pie_sched_pop_finished.argtypes = [c.c_void_p, p_u64, p_u8, c.c_uint32]
+    lib.pie_sched_seq_output.restype = c.c_uint32
+    lib.pie_sched_seq_output.argtypes = [c.c_void_p, c.c_uint64, p_i32, c.c_uint32]
+    lib.pie_sched_release.argtypes = [c.c_void_p, c.c_uint64]
+    lib.pie_sched_has_work.restype = c.c_int32
+    lib.pie_sched_has_work.argtypes = [c.c_void_p]
+    lib.pie_sched_num_waiting.restype = c.c_uint32
+    lib.pie_sched_num_waiting.argtypes = [c.c_void_p]
+    lib.pie_sched_num_running.restype = c.c_uint32
+    lib.pie_sched_num_running.argtypes = [c.c_void_p]
+    lib.pie_sched_num_free_pages.restype = c.c_uint32
+    lib.pie_sched_num_free_pages.argtypes = [c.c_void_p]
+    lib.pie_sched_lane_seqs.argtypes = [c.c_void_p, p_u64]
+    _sched_protos_done = True
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeSchedulerCore:
+    """Thin, array-oriented binding over the C ABI."""
+
+    def __init__(self, num_lanes: int, num_pages: int, max_pages_per_seq: int,
+                 prefill_chunk: int, history_len: int):
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native pie_runtime library unavailable")
+        _bind_scheduler(lib)
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.pie_sched_create(
+            num_lanes, num_pages, max_pages_per_seq, prefill_chunk,
+            history_len,
+        ))
+        if not self._h:
+            raise MemoryError("failed to create native scheduler")
+        self.num_lanes = num_lanes
+        self.max_pages_per_seq = max_pages_per_seq
+        self.prefill_chunk = prefill_chunk
+        self.history_len = history_len
+        # preallocated views, refilled by decode_view each step
+        b = num_lanes
+        self.last_tokens = np.zeros((b,), np.int32)
+        self.context_lens = np.zeros((b,), np.int32)
+        self.block_tables = np.zeros((b, max_pages_per_seq), np.int32)
+        self.active = np.zeros((b,), np.uint8)
+        self.histories = np.zeros((b, history_len), np.int32)
+        self.temperature = np.zeros((b,), np.float32)
+        self.top_p = np.zeros((b,), np.float32)
+        self.min_p = np.zeros((b,), np.float32)
+        self.top_k = np.zeros((b,), np.int32)
+        self.rep_pen = np.zeros((b,), np.float32)
+        self.presence = np.zeros((b,), np.float32)
+        self.frequency = np.zeros((b,), np.float32)
+        self._chunk_ids = np.zeros((prefill_chunk,), np.int32)
+
+    def submit(self, prompt_ids, max_new_tokens: int = 256,
+               stop_token_ids=(), temperature: float = 1.0,
+               top_p: float = 1.0, min_p: float = 0.0, top_k: int = -1,
+               repetition_penalty: float = 1.0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0, rng_seed: int = 0) -> int:
+        prompt = np.asarray(prompt_ids, np.int32)
+        stops = np.asarray(list(stop_token_ids), np.int32)
+        return int(self._lib.pie_sched_submit(
+            self._h, _ptr(prompt, ctypes.c_int32), len(prompt),
+            max_new_tokens, _ptr(stops, ctypes.c_int32), len(stops),
+            temperature, top_p, min_p, top_k, repetition_penalty,
+            presence_penalty, frequency_penalty, rng_seed,
+        ))
+
+    def cancel(self, seq_id: int) -> bool:
+        return self._lib.pie_sched_cancel(self._h, seq_id) == 0
+
+    def begin_step(self) -> int:
+        return int(self._lib.pie_sched_begin_step(self._h))
+
+    def next_prefill(self):
+        """Returns (lane, seq_id, ids, start_pos, context_len, is_last) or
+        None when this step's staged chunks are drained."""
+        lane = ctypes.c_uint32()
+        seq_id = ctypes.c_uint64()
+        n = ctypes.c_uint32()
+        start = ctypes.c_uint32()
+        ctx = ctypes.c_uint32()
+        last = ctypes.c_uint8()
+        ok = self._lib.pie_sched_next_prefill(
+            self._h, ctypes.byref(lane), ctypes.byref(seq_id),
+            _ptr(self._chunk_ids, ctypes.c_int32), ctypes.byref(n),
+            ctypes.byref(start), ctypes.byref(ctx), ctypes.byref(last),
+        )
+        if not ok:
+            return None
+        return (
+            lane.value, seq_id.value,
+            self._chunk_ids[: n.value].copy(),
+            start.value, ctx.value, bool(last.value),
+        )
+
+    def commit_first(self, lane: int, token: int) -> None:
+        self._lib.pie_sched_commit_first(self._h, lane, token)
+
+    def decode_view(self) -> int:
+        """Refreshes the lane-state arrays; returns active decode count."""
+        return int(self._lib.pie_sched_decode_view(
+            self._h,
+            _ptr(self.last_tokens, ctypes.c_int32),
+            _ptr(self.context_lens, ctypes.c_int32),
+            _ptr(self.block_tables, ctypes.c_int32),
+            _ptr(self.active, ctypes.c_uint8),
+            _ptr(self.histories, ctypes.c_int32),
+            _ptr(self.temperature, ctypes.c_float),
+            _ptr(self.top_p, ctypes.c_float),
+            _ptr(self.min_p, ctypes.c_float),
+            _ptr(self.top_k, ctypes.c_int32),
+            _ptr(self.rep_pen, ctypes.c_float),
+            _ptr(self.presence, ctypes.c_float),
+            _ptr(self.frequency, ctypes.c_float),
+        ))
+
+    def commit_decode(self, tokens: np.ndarray) -> None:
+        t = np.ascontiguousarray(tokens, np.int32)
+        self._lib.pie_sched_commit_decode(self._h, _ptr(t, ctypes.c_int32))
+
+    def pop_finished(self, cap: int = 64) -> list[tuple[int, Optional[str]]]:
+        ids = np.zeros((cap,), np.uint64)
+        reasons = np.zeros((cap,), np.uint8)
+        n = self._lib.pie_sched_pop_finished(
+            self._h, _ptr(ids, ctypes.c_uint64), _ptr(reasons, ctypes.c_uint8),
+            cap,
+        )
+        return [
+            (int(ids[i]), _FINISH_REASONS[int(reasons[i])]) for i in range(n)
+        ]
+
+    def seq_output(self, seq_id: int, cap: int = 4096) -> list[int]:
+        out = np.zeros((cap,), np.int32)
+        n = self._lib.pie_sched_seq_output(
+            self._h, seq_id, _ptr(out, ctypes.c_int32), cap
+        )
+        if n == 0xFFFFFFFF:
+            raise KeyError(f"unknown seq {seq_id}")
+        return out[: min(n, cap)].tolist()
+
+    def release(self, seq_id: int) -> None:
+        self._lib.pie_sched_release(self._h, seq_id)
+
+    def lane_seqs(self) -> np.ndarray:
+        out = np.zeros((self.num_lanes,), np.uint64)
+        self._lib.pie_sched_lane_seqs(self._h, _ptr(out, ctypes.c_uint64))
+        return out
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self._lib.pie_sched_has_work(self._h))
+
+    @property
+    def num_waiting(self) -> int:
+        return int(self._lib.pie_sched_num_waiting(self._h))
+
+    @property
+    def num_running(self) -> int:
+        return int(self._lib.pie_sched_num_running(self._h))
+
+    @property
+    def num_free_pages(self) -> int:
+        return int(self._lib.pie_sched_num_free_pages(self._h))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.pie_sched_destroy(h)
+            self._h = None
+
+
+class NativeRequest:
+    """Handle for one request submitted to the NativeScheduler."""
+
+    __slots__ = ("seq_id", "output_ids", "finish_reason", "on_token",
+                 "on_finish", "done")
+
+    def __init__(self, seq_id: int):
+        self.seq_id = seq_id
+        self.output_ids: list[int] = []
+        self.finish_reason: Optional[str] = None
+        self.on_token: Optional[Callable[["NativeRequest", int], None]] = None
+        self.on_finish: Optional[Callable[["NativeRequest"], None]] = None
+        self.done = False
+
+
+class NativeScheduler:
+    """Continuous-batching driver: native C++ host runtime + jitted device
+    programs from :class:`pie_tpu.engine.scheduler.PagedEngine`.
+
+    Drop-in peer of the pure-Python :class:`pie_tpu.engine.scheduler.Scheduler`
+    with identical device programs — batch-invariant outputs — but with the
+    per-step bookkeeping (the reference's intended C++ engine loop) off the
+    Python hot path.
+    """
+
+    def __init__(self, engine, num_pages: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.engine = engine
+        self.core = NativeSchedulerCore(
+            num_lanes=engine.num_lanes,
+            num_pages=num_pages or engine.pool.num_pages,
+            max_pages_per_seq=engine.max_pages_per_seq,
+            prefill_chunk=engine.prefill_chunk,
+            history_len=engine.history_len,
+        )
+        self.requests: dict[int, NativeRequest] = {}
+        # submit-time params retained for the first-token sample
+        self._first_params: dict[int, dict] = {}
+
+    # -- public API -------------------------------------------------------
+
+    def add_request(self, prompt_ids, max_new_tokens: int = 256,
+                    stop_token_ids=(), temperature: float = 1.0,
+                    top_p: float = 1.0, min_p: float = 0.0, top_k: int = -1,
+                    repetition_penalty: float = 1.0,
+                    presence_penalty: float = 0.0,
+                    frequency_penalty: float = 0.0) -> NativeRequest:
+        seq_id = self.core.submit(
+            prompt_ids, max_new_tokens=max_new_tokens,
+            stop_token_ids=stop_token_ids, temperature=temperature,
+            top_p=top_p, min_p=min_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
+        )
+        req = NativeRequest(seq_id)
+        self.requests[seq_id] = req
+        self._first_params[seq_id] = dict(
+            prompt_tail=list(prompt_ids)[-self.core.history_len:],
+            temperature=temperature, top_p=top_p, min_p=min_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
+        )
+        return req
+
+    def cancel(self, req: NativeRequest) -> None:
+        self.core.cancel(req.seq_id)
+
+    @property
+    def has_work(self) -> bool:
+        return self.core.has_work
+
+    def run_to_completion(self, max_steps: int = 100000) -> None:
+        for _ in range(max_steps):
+            if not self.has_work:
+                return
+            self.step()
+        raise RuntimeError("native scheduler did not drain")
+
+    # -- one step ----------------------------------------------------------
+
+    def step(self) -> list[NativeRequest]:
+        jnp = self._jnp
+        jax = self._jax
+        e = self.engine
+        core = self.core
+        core.begin_step()
+        core.decode_view()  # refresh lane tables for the prefill programs
+
+        # prefill chunks (one per PREFILLING lane, staged by begin_step)
+        while True:
+            chunk = core.next_prefill()
+            if chunk is None:
+                break
+            lane, seq_id, ids, start_pos, context_len, is_last = chunk
+            n = len(ids)
+            c = _bucket(n, core.prefill_chunk)
+            ids_pad = np.zeros((1, c), np.int32)
+            ids_pad[0, :n] = ids
+            positions = np.full((1, c), -1, np.int32)
+            positions[0, :n] = start_pos + np.arange(n)
+            logits, e.pool = e._prefill(
+                e.params, e.pool,
+                jnp.asarray(ids_pad), jnp.asarray(positions),
+                jnp.asarray(core.block_tables[lane: lane + 1]),
+                jnp.full((1,), context_len, jnp.int32),
+                jnp.asarray(n - 1, jnp.int32),
+            )
+            if is_last:
+                tok = self._sample_first(seq_id, logits)
+                core.commit_first(lane, tok)
+                self._emit(seq_id, tok)
+
+        # batched decode over all DECODING lanes
+        n_active = core.decode_view()
+        if n_active > 0:
+            from pie_tpu.ops.sampling import SamplingParams, sampler_kind_for
+
+            act = core.active.astype(bool)
+            skind = sampler_kind_for(
+                core.temperature[act], core.top_p[act],
+                core.min_p[act], core.top_k[act],
+            )
+            sampling = SamplingParams(
+                temperature=jnp.asarray(core.temperature),
+                top_p=jnp.asarray(core.top_p),
+                min_p=jnp.asarray(core.min_p),
+                top_k=jnp.asarray(core.top_k),
+            )
+            lane_seq = core.lane_seqs()
+            tokens, e.pool, e.key = e._decode(
+                e.params, e.pool,
+                jnp.asarray(core.last_tokens),
+                jnp.asarray(core.context_lens),
+                jnp.asarray(core.block_tables),
+                jnp.asarray(core.histories),
+                sampling,
+                jnp.asarray(core.rep_pen),
+                jnp.asarray(core.presence),
+                jnp.asarray(core.frequency),
+                jnp.asarray(act),
+                e.key,
+                sampler_kind=skind,
+            )
+            tokens = np.asarray(tokens)
+            core.commit_decode(tokens)
+            for lane in np.nonzero(act)[0]:
+                self._emit(int(lane_seq[lane]), int(tokens[lane]))
+
+        # finished sequences
+        finished = []
+        for seq_id, reason in core.pop_finished():
+            req = self.requests.get(seq_id)
+            if req is None:
+                continue
+            req.finish_reason = reason
+            req.done = True
+            self._first_params.pop(seq_id, None)
+            core.release(seq_id)
+            if req.on_finish:
+                try:
+                    req.on_finish(req)
+                except Exception:  # pragma: no cover
+                    logger.exception("on_finish callback failed")
+            finished.append(req)
+        return finished
+
+    # -- helpers ------------------------------------------------------------
+
+    def _sample_first(self, seq_id: int, logits) -> int:
+        jnp = self._jnp
+        jax = self._jax
+        e = self.engine
+        from pie_tpu.engine.core import PAD_TOKEN
+        from pie_tpu.ops.sampling import SamplingParams
+
+        p = self._first_params[seq_id]
+        hist = np.full((1, e.history_len), PAD_TOKEN, np.int32)
+        tail = p["prompt_tail"]
+        if tail:
+            hist[0, -len(tail):] = tail
+        sampling = SamplingParams(
+            temperature=jnp.full((1,), p["temperature"], jnp.float32),
+            top_p=jnp.full((1,), p["top_p"], jnp.float32),
+            min_p=jnp.full((1,), p["min_p"], jnp.float32),
+            top_k=jnp.full((1,), p["top_k"], jnp.int32),
+        )
+        pen = (
+            jnp.full((1,), p["repetition_penalty"], jnp.float32),
+            jnp.full((1,), p["presence_penalty"], jnp.float32),
+            jnp.full((1,), p["frequency_penalty"], jnp.float32),
+        )
+        e.key, sub = jax.random.split(e.key)
+        return int(e._sample_first(logits, sampling, pen, jnp.asarray(hist), sub))
+
+    def _emit(self, seq_id: int, token: int) -> None:
+        req = self.requests.get(seq_id)
+        if req is None:
+            return
+        req.output_ids.append(token)
+        if req.on_token:
+            try:
+                req.on_token(req, token)
+            except Exception:  # pragma: no cover
+                logger.exception("on_token callback failed")
+
+
+def _bucket(n: int, max_chunk: int) -> int:
+    c = 16
+    while c < n:
+        c *= 2
+    return min(c, max_chunk)
