@@ -219,11 +219,11 @@ uint32_t Scheduler::decode_view(int32_t* last_tokens, int32_t* context_lens,
     std::fill(block_tables + li * mp, block_tables + (li + 1) * mp, -1);
     std::fill(history + li * hl, history + (li + 1) * hl, kPadToken);
     if (is_occupied) {
+      // params + history exposed mid-prefill too: the driver samples the
+      // first token from lane state before the lane turns DECODING
       for (size_t b = 0; b < seq->page_table.size(); ++b) {
         block_tables[li * mp + b] = static_cast<int32_t>(seq->page_table[b]);
       }
-    }
-    if (is_active) {
       std::copy(lane.history.begin(), lane.history.end(), history + li * hl);
       temperature[li] = seq->sampling.temperature;
       top_p[li] = seq->sampling.top_p;
@@ -232,7 +232,7 @@ uint32_t Scheduler::decode_view(int32_t* last_tokens, int32_t* context_lens,
       rep_pen[li] = seq->logits.repetition_penalty;
       presence[li] = seq->logits.presence_penalty;
       frequency[li] = seq->logits.frequency_penalty;
-      ++n_active;
+      if (is_active) ++n_active;
     } else {
       temperature[li] = 1.0f;
       top_p[li] = 1.0f;

@@ -283,8 +283,10 @@ class NativeScheduler:
             history_len=engine.history_len,
         )
         self.requests: dict[int, NativeRequest] = {}
-        # submit-time params retained for the first-token sample
-        self._first_params: dict[int, dict] = {}
+        # sinks for sequences submitted over IPC (not via add_request):
+        # called as token_sink(seq_id, token) / finish_sink(seq_id, reason)
+        self.token_sink: Optional[Callable[[int, int], None]] = None
+        self.finish_sink: Optional[Callable[[int, Optional[str]], None]] = None
 
     # -- public API -------------------------------------------------------
 
@@ -304,13 +306,6 @@ class NativeScheduler:
         )
         req = NativeRequest(seq_id)
         self.requests[seq_id] = req
-        self._first_params[seq_id] = dict(
-            prompt_tail=list(prompt_ids)[-self.core.history_len:],
-            temperature=temperature, top_p=top_p, min_p=min_p, top_k=top_k,
-            repetition_penalty=repetition_penalty,
-            presence_penalty=presence_penalty,
-            frequency_penalty=frequency_penalty,
-        )
         return req
 
     def cancel(self, req: NativeRequest) -> None:
@@ -357,7 +352,7 @@ class NativeScheduler:
                 jnp.asarray(n - 1, jnp.int32),
             )
             if is_last:
-                tok = self._sample_first(seq_id, logits)
+                tok = self._sample_first(lane, logits)
                 core.commit_first(lane, tok)
                 self._emit(seq_id, tok)
 
@@ -402,10 +397,12 @@ class NativeScheduler:
         for seq_id, reason in core.pop_finished():
             req = self.requests.get(seq_id)
             if req is None:
+                if self.finish_sink is not None:
+                    self.finish_sink(seq_id, reason)
+                core.release(seq_id)
                 continue
             req.finish_reason = reason
             req.done = True
-            self._first_params.pop(seq_id, None)
             core.release(seq_id)
             if req.on_finish:
                 try:
@@ -417,35 +414,37 @@ class NativeScheduler:
 
     # -- helpers ------------------------------------------------------------
 
-    def _sample_first(self, seq_id: int, logits) -> int:
+    def _sample_first(self, lane: int, logits) -> int:
+        """Sample a just-prefilled lane's first token from the lane state the
+        C++ core exposed via decode_view (params + prompt-tail history)."""
         jnp = self._jnp
         jax = self._jax
         e = self.engine
-        from pie_tpu.engine.core import PAD_TOKEN
+        core = self.core
         from pie_tpu.ops.sampling import SamplingParams
 
-        p = self._first_params[seq_id]
-        hist = np.full((1, e.history_len), PAD_TOKEN, np.int32)
-        tail = p["prompt_tail"]
-        if tail:
-            hist[0, -len(tail):] = tail
+        s = slice(lane, lane + 1)
         sampling = SamplingParams(
-            temperature=jnp.full((1,), p["temperature"], jnp.float32),
-            top_p=jnp.full((1,), p["top_p"], jnp.float32),
-            min_p=jnp.full((1,), p["min_p"], jnp.float32),
-            top_k=jnp.full((1,), p["top_k"], jnp.int32),
+            temperature=jnp.asarray(core.temperature[s]),
+            top_p=jnp.asarray(core.top_p[s]),
+            min_p=jnp.asarray(core.min_p[s]),
+            top_k=jnp.asarray(core.top_k[s]),
         )
         pen = (
-            jnp.full((1,), p["repetition_penalty"], jnp.float32),
-            jnp.full((1,), p["presence_penalty"], jnp.float32),
-            jnp.full((1,), p["frequency_penalty"], jnp.float32),
+            jnp.asarray(core.rep_pen[s]),
+            jnp.asarray(core.presence[s]),
+            jnp.asarray(core.frequency[s]),
         )
         e.key, sub = jax.random.split(e.key)
-        return int(e._sample_first(logits, sampling, pen, jnp.asarray(hist), sub))
+        return int(e._sample_first(
+            logits, sampling, pen, jnp.asarray(core.histories[s]), sub
+        ))
 
     def _emit(self, seq_id: int, token: int) -> None:
         req = self.requests.get(seq_id)
         if req is None:
+            if self.token_sink is not None:
+                self.token_sink(seq_id, token)
             return
         req.output_ids.append(token)
         if req.on_token:
