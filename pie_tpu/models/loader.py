@@ -61,6 +61,23 @@ def load_model(
     linear weights are group-wise quantized on load.
     """
     model_path = Path(model_path)
+    # GGUF fallback (reference load order src/models/model_utils.cpp:108-126:
+    # sharded safetensors -> single safetensors -> gguf)
+    gguf_file = None
+    if model_path.suffix == ".gguf":
+        gguf_file = model_path
+    elif model_path.is_dir() and not any(model_path.glob("*.safetensors")):
+        ggufs = sorted(model_path.glob("*.gguf"))
+        gguf_file = ggufs[0] if ggufs else None
+    if gguf_file is not None:
+        from pie_tpu.models.gguf import load_gguf_model
+
+        model, params = load_gguf_model(gguf_file, dtype=dtype)
+        if quantization is not None:
+            params = model.quantize_params(
+                params, quantization.group_size, quantization.bits
+            )
+        return model, params
     cfg_dict = load_config_dict(model_path)
     model = build_model(cfg_dict)
     weights = load_safetensors_weights(model_path)
