@@ -52,6 +52,17 @@ class GenerationResult:
     text: Optional[str] = None
 
 
+def _decode_steps(chunk: int, remaining: int) -> int:
+    """Pick the decode-program length for `remaining` tokens from the fixed
+    bucket ladder {chunk, chunk/2, ..., 8}: at most log2(chunk/8)+1 programs
+    are ever compiled, and a tail like 63 runs as 32+16+8+8 instead of
+    compiling a one-off 63-step program mid-request."""
+    steps = chunk
+    while steps > 8 and steps > remaining:
+        steps //= 2
+    return steps
+
+
 def _bucket(n: int, buckets=PREFILL_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
@@ -267,7 +278,10 @@ class InferenceEngine:
 
         produced = 1
         while produced < max_tokens:
-            steps = min(self.decode_chunk, max_tokens - produced)
+            # bucketed chunk sizes: a tail like 63 steps must reuse an
+            # already-compiled program, never trigger a fresh num_steps
+            # compile on the request path
+            steps = _decode_steps(self.decode_chunk, max_tokens - produced)
             state, outs = self.core._decode(
                 self.params,
                 state,
@@ -290,6 +304,8 @@ class InferenceEngine:
                 if tid == PAD_TOKEN:
                     stopped = True
                     break
+                if produced >= max_tokens:
+                    break  # bucket overshoot: discard extras, finish "length"
                 if logprobs:
                     yield emit(int(tid), chosen[s], tv[s], ti[s])
                 else:
