@@ -88,8 +88,11 @@ def main():
     params = model.quantize_params(params, group_size=64, bits=4)
     # tied embedding stays bf16; decode still reads it for the lm head —
     # count it in the roofline model
+    # Per-token HBM traffic: every quantized weight (incl. the int4 lm_head
+    # that quantize_params derives from the tied embedding) is streamed once
+    # per decoded token; the bf16 embed table is only gathered one row per
+    # token (negligible), plus norm vectors (negligible).
     wbytes = quantized_bytes(params)
-    wbytes += params["embed"].size * 2  # tied lm head read per token
 
     engine = InferenceEngine(
         model=model, params=params, max_seq_len=512, decode_chunk=chunk,

@@ -88,6 +88,7 @@ class InferenceEngine:
         seed: int = 0,
         prompt_cache: bool = True,
         prompt_cache_dir=None,
+        pipeline_chunks: bool = True,
     ):
         if model is None:
             if model_path is None:
@@ -103,6 +104,7 @@ class InferenceEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.decode_chunk = decode_chunk
+        self.pipeline_chunks = pipeline_chunks
         self.core = EngineCore(
             model,
             params,
@@ -277,11 +279,19 @@ class InferenceEngine:
             return _finalize("length")
 
         produced = 1
-        while produced < max_tokens:
-            # bucketed chunk sizes: a tail like 63 steps must reuse an
-            # already-compiled program, never trigger a fresh num_steps
-            # compile on the request path
-            steps = _decode_steps(self.decode_chunk, max_tokens - produced)
+        planned = 1
+        pending: list[tuple] = []  # dispatched-but-undrained chunks
+
+        def dispatch_next():
+            """Dispatch one more decode chunk without blocking (JAX async
+            dispatch): the device runs chunk k+1 while the host drains
+            chunk k — the chunk-granular equivalent of the reference's
+            mx.async_eval one-step lookahead (engine/inference_engine.py:
+            279-289). Done lanes are frozen on-device, so a speculative
+            chunk after a stop token only emits PAD and never corrupts
+            state."""
+            nonlocal state, planned
+            steps = _decode_steps(self.decode_chunk, max_tokens - planned)
             state, outs = self.core._decode(
                 self.params,
                 state,
@@ -294,12 +304,20 @@ class InferenceEngine:
                 return_logprobs=logprobs,
                 sampler_kind=skind,
             )
+            planned += steps
+            pending.append(outs)
+
+        stopped = False
+        lookahead = 1 if self.pipeline_chunks else 0
+        while (pending or planned < max_tokens) and not stopped:
+            while planned < max_tokens and len(pending) <= lookahead:
+                dispatch_next()
+            outs = pending.pop(0)
             emitted = np.asarray(outs[0])[:, 0]  # [steps]
             if logprobs:
                 chosen = np.asarray(outs[1])[:, 0]
                 tv = np.asarray(outs[2])[:, 0]
                 ti = np.asarray(outs[3])[:, 0]
-            stopped = False
             for s, tid in enumerate(emitted.tolist()):
                 if tid == PAD_TOKEN:
                     stopped = True
