@@ -115,18 +115,71 @@ def compute_qparams(
     return q, scale.astype(w.dtype), wmin.astype(w.dtype)
 
 
+def _pack4_planes(q4: jax.Array) -> jax.Array:
+    """Pack int4 codes [.., T, 512, N] -> uint32 [.., T, 64, N] in the
+    plane-paired layout the Pallas kernel unpacks with one
+    ``(w >> 4j) & 0x000F000F | 0x3F803F80`` + bitcast per 128-row plane:
+
+    - plane j (j=0..3) covers code rows [128j, 128j+128) of the tile;
+    - within plane j, word row r holds code row ``128j + 2r`` at bits
+      [4j, 4j+4) and code row ``128j + 2r + 1`` at bits [16+4j, 16+4j+4)
+      (u32 -> bf16 bitcast on TPU interleaves rows: out row 2r is the low
+      half of word row r, row 2r+1 the high half — verified on hardware).
+    """
+    lead = q4.shape[:-3]
+    t, n = q4.shape[-3], q4.shape[-1]
+    qt = q4.reshape(*lead, t, 4, 64, 2, n).astype(jnp.uint32)
+    word = jnp.zeros((*lead, t, 64, n), jnp.uint32)
+    for j in range(4):
+        for h in range(2):
+            word = word | (
+                qt[..., j, :, h, :] << jnp.uint32(4 * j + 16 * h)
+            )
+    return word
+
+
+def _unpack4_planes(word: jax.Array) -> jax.Array:
+    """Inverse of :func:`_pack4_planes`: [.., T, 64, N] -> [.., T, 512, N]."""
+    lead = word.shape[:-3]
+    t, n = word.shape[-3], word.shape[-1]
+    mask = jnp.uint32(0xF)
+    parts = []
+    for j in range(4):
+        for h in range(2):
+            parts.append(
+                ((word >> jnp.uint32(4 * j + 16 * h)) & mask).astype(jnp.int32)
+            )
+    # parts index p = 2j + h -> code rows 128j + 2r + h
+    q = jnp.stack(parts, axis=-2)  # [.., t, 64, 8, n]
+    q = q.reshape(*lead, t, 64, 4, 2, n)  # [.., r, j, h, n]
+    q = jnp.moveaxis(q, -3, -4)  # [.., t, j, r, h, n]
+    return q.reshape(*lead, t, 512, n)
+
+
 def pack_codes(q: jax.Array, bits: int) -> jax.Array:
-    """Tile-strided pack of int codes [.., K, N] -> uint32 [.., K//ep, N]."""
+    """Plane-paired pack of int codes [.., K, N] -> uint32 [.., K//ep, N].
+
+    int4: one plane set per 512-row tile (see :func:`_pack4_planes`).
+    int8: each code splits into nibbles ``lo = q & 15`` / ``hi = q >> 4``;
+    per 512-row tile the lo nibbles pack as an int4 tile at word rows
+    [128t, 128t+64) and the hi nibbles at [128t+64, 128t+128) — the kernel
+    processes the hi plane with scale*16 so an int8 matmul reuses the int4
+    unpack path unchanged.
+    """
     ep = 32 // bits
     k, n = q.shape[-2], q.shape[-1]
     assert k % PACK_TILE_K == 0, k
-    kpt = PACK_TILE_K // ep  # packed rows per tile
     t = k // PACK_TILE_K
-    qt = q.reshape(*q.shape[:-2], t, ep, kpt, n).astype(jnp.uint32)
-    word = jnp.zeros(qt.shape[:-3] + (kpt, n), jnp.uint32)
-    for i in range(ep):
-        word = word | (qt[..., i, :, :] << jnp.uint32(bits * i))
-    return word.reshape(*q.shape[:-2], t * kpt, n)
+    lead = q.shape[:-2]
+    qt = q.reshape(*lead, t, PACK_TILE_K, n)
+    if bits == 4:
+        word = _pack4_planes(qt)  # [.., t, 64, n]
+    else:  # bits == 8
+        lo = _pack4_planes(qt & 0xF)
+        hi = _pack4_planes((qt >> 4) & 0xF)
+        word = jnp.concatenate([lo, hi], axis=-2)  # [.., t, 128, n]
+    kpt = PACK_TILE_K // ep
+    return word.reshape(*lead, t * kpt, n)
 
 
 def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
@@ -135,13 +188,15 @@ def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
     kp, n = packed.shape[-2], packed.shape[-1]
     kpt = PACK_TILE_K // ep
     t = kp // kpt
-    mask = jnp.uint32((1 << bits) - 1)
-    pt = packed.reshape(*packed.shape[:-2], t, kpt, n)
-    blocks = [
-        ((pt >> jnp.uint32(bits * i)) & mask).astype(jnp.int32) for i in range(ep)
-    ]
-    q = jnp.stack(blocks, axis=-3)  # [.., t, ep, kpt, n]
-    return q.reshape(*packed.shape[:-2], t * ep * kpt, n)
+    lead = packed.shape[:-2]
+    word = packed.reshape(*lead, t, kpt, n)
+    if bits == 4:
+        q = _unpack4_planes(word)
+    else:  # bits == 8
+        lo = _unpack4_planes(word[..., :64, :])
+        hi = _unpack4_planes(word[..., 64:, :])
+        q = lo | (hi << 4)
+    return q.reshape(*lead, t * PACK_TILE_K, n)
 
 
 def quantize(

@@ -2,23 +2,36 @@
 
 Computes ``y = x @ W`` where W is a group-wise affine quantized
 :class:`~pie_tpu.ops.quant.QuantizedTensor` in KN layout (see
-``pie_tpu/ops/quant.py`` for the tile-strided packing contract).
+``pie_tpu/ops/quant.py`` for the plane-paired packing contract).
 
 Design (TPU-first, replaces the reference's quantized_matmul usage at
 models/base.py:56-89 which relied on MLX's fused kernels):
 
-- grid = (M tiles, N tiles, K tiles), K innermost; f32 accumulator in VMEM
-  scratch, written out once on the final K step.
-- each K step streams a packed uint32 block from HBM and walks it one
-  512-row pack tile at a time: VPU shifts unpack ``ep`` nibble blocks, a
-  single sublane concatenate restores row order (the tile-strided pack makes
-  that free), dequantization runs in bf16 (codes <= 255 are exact in bf16),
-  and each pack tile feeds the MXU immediately — intermediates stay at
-  [PACK_TILE_K, bn] so K/N tiles can be large. Decode-shaped calls (small M)
-  use big K x N tiles: per-grid-step fixed costs, not bandwidth, dominate
-  small-tile launches.
-- bias is folded into the dequantized tile (w = q*s + b), so the dot
-  produces the exact affine result.
+The decode step is HBM-bandwidth-bound in theory but VPU-bound in naive
+kernels: every dequantized element costs unpack + convert + scale + bias ops
+on the 8x128 vector unit, which caps throughput near 300 GB/s on v5e — far
+below the 819 GB/s HBM roofline. This kernel gets the per-element VPU work
+down to ~2.5 ops:
+
+- **bit-trick unpack (1.5 ops/elem)**: codes are packed so that one
+  shift + mask + or per 128-row plane places each nibble at mantissa bits
+  3-6 of a bf16 with exponent 0 — after a free u32->bf16 bitcast every
+  word yields *two* exact values ``1 + n/16``. No int->float convert, no
+  re-centering pass: because the code sits at the TOP of the mantissa, the
+  subsequent bf16 scale product rounds at 2^-9 of ~2*16*scale ~ 0.06*scale
+  — the same error as multiplying the bare code, with zero extra ops.
+- **scale only, no bias (1 op/elem)**: each plane is multiplied by
+  ``16*scale`` rows (sublane-broadcast); the affine bias — including the
+  -16*scale offset that converts ``1 + n/16`` back to ``n`` — is applied
+  as one tiny f32 MXU dot against per-group sums of x, never touching the
+  [K, N] stream.
+- int8 weights are stored as two int4 nibble planes (see pack_codes); the
+  hi plane runs through the same path with ``scale*256``.
+
+Grid = (M tiles, N tiles, K tiles), K innermost, f32 accumulator in VMEM.
+Weights stacked along a leading layer axis are indexed inside the kernel via
+a scalar-prefetch layer id, so a ``lax.scan`` over layers streams each
+layer's blocks straight from HBM with no gather/copy of the slice.
 """
 
 from __future__ import annotations
@@ -40,11 +53,25 @@ DEFAULT_BK = 512
 DECODE_BN = 1024
 DECODE_BK = 2048
 
+def _plane_codes(pk, j):
+    """Extract plane j of a packed word block [64, bn] -> exact bf16 values
+    ``1 + n/16`` with shape [128, bn] (code n at mantissa bits 3-6)."""
+    mask4 = jnp.uint32(0x00780078)
+    expo = jnp.uint32(0x3F803F80)  # bf16 1.0 exponent bits in both halves
+    # nibble j sits at bits (4j, 16+4j); move it to bits (3..6, 19..22)
+    w = (pk << jnp.uint32(3)) if j == 0 else (pk >> jnp.uint32(4 * j - 3))
+    u = (w & mask4) | expo
+    return pltpu.bitcast(u, jnp.bfloat16)  # rows interleave: 2r | 2r+1
+
+
+def _row_repeat(a: jax.Array, r: int) -> jax.Array:
+    """Repeat each row of [G, N] r times -> [G*r, N] (broadcast + reshape)."""
+    g, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
+
 
 def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
-            bits: int, group_size: int, bk: int, out_dtype):
-    ep = 32 // bits
-    mask = jnp.uint32((1 << bits) - 1)
+            bits: int, group_size: int, bk: int, bm: int, out_dtype):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -52,26 +79,58 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    g = group_size
+    gpt = PACK_TILE_K // g  # groups per 512-row tile
     n_tiles = bk // PACK_TILE_K
-    kpt = PACK_TILE_K // ep  # packed rows per pack tile
-    gpt = PACK_TILE_K // group_size  # groups per pack tile
+    wrows = 64 if bits == 4 else 128  # packed word rows per tile
 
     xb = x_ref[:].astype(jnp.bfloat16)
     acc = acc_ref[:]
     for t in range(n_tiles):
-        pk = packed_ref[t * kpt:(t + 1) * kpt, :]  # [kpt, bn] uint32
-        parts = []
-        for i in range(ep):
-            nib = ((pk >> jnp.uint32(bits * i)) & mask).astype(jnp.int32)
-            parts.append(nib.astype(jnp.bfloat16))
-        wq = jnp.concatenate(parts, axis=0)  # [PACK_TILE_K, bn] bf16
-        s = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.bfloat16)
-        b = biases_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.bfloat16)
-        srep = _repeat_rows(s, group_size)
-        brep = _repeat_rows(b, group_size)
-        wd = wq * srep + brep
-        xt = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K]
-        acc = acc + jnp.dot(xt, wd, preferred_element_type=jnp.float32)
+        s32 = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
+        b32 = biases_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
+        # per-group sums of x for the bias dot: [bm, gpt]
+        xt_f32 = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K].astype(
+            jnp.float32
+        )
+        xg = jnp.concatenate(
+            [
+                xt_f32[:, i * g:(i + 1) * g].sum(axis=1, keepdims=True)
+                for i in range(gpt)
+            ],
+            axis=1,
+        )
+        if bits == 4:
+            # kernel codes are t = 1 + n/16: w = n*s + b = 16s*t + (b - 16s)
+            b_eff = b32 - 16.0 * s32
+            plane_sets = ((0, 16.0),)
+        else:
+            # n = lo + 16*hi: w = 16s*t_lo + 256s*t_hi + (b - 272 s)
+            b_eff = b32 - 272.0 * s32
+            plane_sets = ((0, 16.0), (64, 256.0))
+        acc = acc + jnp.dot(xg, b_eff, preferred_element_type=jnp.float32)
+
+        for row0, smul in plane_sets:
+            pk = packed_ref[t * wrows + row0: t * wrows + row0 + 64, :]
+            s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
+            spp = max(1, 128 // g)  # scale rows per 128-row plane
+            for j in range(4):
+                codes = _plane_codes(pk, j)  # [128, bn] bf16, 1 + n/16
+                if g >= 128:
+                    # one group spans >= a whole plane; group of plane j is
+                    # (128j) // g
+                    srow = s128[(128 * j) // g][None, :]
+                    wd = codes * srow
+                else:
+                    srep = _row_repeat(
+                        s128[j * spp:(j + 1) * spp, :], g
+                    )  # [128, bn]
+                    wd = codes * srep
+                xt = xb[:, t * PACK_TILE_K + 128 * j:
+                        t * PACK_TILE_K + 128 * (j + 1)]
+                acc = acc + jnp.dot(
+                    xt, wd, preferred_element_type=jnp.float32
+                )
     acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
@@ -79,13 +138,9 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _repeat_rows(a: jax.Array, r: int) -> jax.Array:
-    """Repeat each row of [G, N] r times -> [G*r, N] (broadcast + reshape)."""
-    g, n = a.shape
-    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
-
-
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+)
 def quant_matmul_pallas(
     x: jax.Array,
     qt: QuantizedTensor,
@@ -119,7 +174,7 @@ def quant_matmul_pallas(
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
 
     kernel = functools.partial(
-        _kernel, bits=qt.bits, group_size=g, bk=bk, out_dtype=x.dtype
+        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype
     )
     flops = 2 * m * n * kpad
     bytes_accessed = (
@@ -146,6 +201,100 @@ def quant_matmul_pallas(
         ),
         interpret=interpret,
     )(x, qt.packed, qt.scales, qt.biases)
+
+
+def _stacked_index_maps():
+    """Index maps for stacked [L, ...] weights: grid ids first, then the
+    scalar-prefetch ref holding the layer id."""
+    return (
+        lambda i, j, k, s: (i, k),          # x
+        lambda i, j, k, s: (s[0], k, j),    # packed
+        lambda i, j, k, s: (s[0], k, j),    # scales
+        lambda i, j, k, s: (s[0], k, j),    # biases
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+)
+def quant_matmul_stacked(
+    x: jax.Array,
+    layer: jax.Array,
+    qt: QuantizedTensor,
+    bm: int | None = None,
+    bn: int | None = None,
+    bk: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """``y = x @ W[layer]`` for layer-stacked quantized weights.
+
+    qt holds packed [L, Kp, N] / scales / biases [L, G, N]; ``layer`` is a
+    scalar int32. The layer id is scalar-prefetched so block DMAs read the
+    selected layer's tiles straight from HBM — a ``lax.scan`` over layers
+    pays zero slice-copy (the naive ``scan`` over stacked weights
+    materializes each layer's [K, N] slice before a plain kernel can read
+    it, doubling HBM traffic).
+    """
+    m, kpad = x.shape
+    assert qt.packed.ndim == 3, "use quant_matmul_pallas for unstacked weights"
+    ep = qt.el_per_int
+    assert kpad == qt.packed.shape[-2] * ep, (kpad, qt.packed.shape)
+    n = qt.shape[1]
+    g = qt.group_size
+
+    decode = m <= 32
+    if bm is None:
+        bm = DEFAULT_BM
+    if bn is None:
+        bn = DECODE_BN if decode else DEFAULT_BN
+    if bk is None:
+        bk = DECODE_BK if decode else DEFAULT_BK
+    assert bk % PACK_TILE_K == 0
+    bm = min(bm, _round_up(m, 8))
+    bn = min(bn, _round_up(n, 128))
+    bk = min(max(bk, 8 * g), kpad)
+
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
+    kernel = functools.partial(
+        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype
+    )
+    xmap, pmap, smap, bmap = _stacked_index_maps()
+    flops = 2 * m * n * kpad
+    bytes_accessed = (
+        kpad * n // ep * 4 + 2 * (kpad // g) * n * qt.scales.dtype.itemsize
+        + m * kpad * x.dtype.itemsize + m * n * x.dtype.itemsize
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), xmap),
+            pl.BlockSpec((1, bk // ep, bn), pmap),
+            pl.BlockSpec((1, bk // g, bn), smap),
+            pl.BlockSpec((1, bk // g, bn), bmap),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, s: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+
+    def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
+                       out_ref, acc_ref):
+        kernel(x_ref, packed_ref.at[0], scales_ref.at[0], biases_ref.at[0],
+               out_ref, acc_ref)
+
+    return pl.pallas_call(
+        kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, qt.packed, qt.scales,
+      qt.biases)
 
 
 def _round_up(v: int, m: int) -> int:

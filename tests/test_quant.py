@@ -97,10 +97,12 @@ def test_pallas_kernel_matches_xla(bits, group_size):
     qt = quantize(w, group_size=group_size, bits=bits)
     y_ref = np.asarray(x @ dequantize(qt, jnp.float32))
     y = np.asarray(quant_matmul_pallas(x, qt, interpret=True))
-    # kernel dequantizes to bf16 before the MXU dot; compare with a
-    # magnitude-normalized error bound
+    # kernel dequantizes to bf16 before the MXU dot; its per-weight bf16
+    # product rounding is <= 2^-9 * 32 * scale ~ 6% of one quantization LSB
+    # (vs the ~29% LSB/sqrt(12) noise of the quantization itself), which
+    # accumulates to at most a few percent of the output magnitude here
     rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
-    assert rel < 0.01, f"normalized max err {rel}"
+    assert rel < 0.025, f"normalized max err {rel}"
 
 
 def test_quantized_tensor_is_pytree():
@@ -118,3 +120,31 @@ def test_quantized_tensor_is_pytree():
     x = jnp.ones((2, 512), jnp.float32)
     y = f(x, qt)
     assert y.shape == (2, 128)
+
+
+def test_stacked_kernel_matches_per_layer():
+    """quant_matmul_stacked indexes stacked [L, ...] weights by a scalar
+    layer id inside the kernel (interpret mode)."""
+    from pie_tpu.ops.quant_matmul_pallas import (
+        quant_matmul_pallas,
+        quant_matmul_stacked,
+    )
+
+    k, n, m, L = 512, 256, 8, 3
+    ws = jax.random.normal(jax.random.PRNGKey(7), (L, k, n), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (m, k), jnp.float32)
+    qts = [quantize(ws[i], 64, 4) for i in range(L)]
+    stacked = QuantizedTensor(
+        packed=jnp.stack([q.packed for q in qts]),
+        scales=jnp.stack([q.scales for q in qts]),
+        biases=jnp.stack([q.biases for q in qts]),
+        bits=4,
+        group_size=64,
+        shape=(k, n),
+    )
+    for i in range(L):
+        y_one = np.asarray(quant_matmul_pallas(x, qts[i], interpret=True))
+        y_st = np.asarray(
+            quant_matmul_stacked(x, i, stacked, interpret=True)
+        )
+        np.testing.assert_allclose(y_st, y_one, rtol=0, atol=1e-4)
