@@ -63,17 +63,32 @@ class LlamaConfig(BaseConfig):
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
 
-def linear(x: jax.Array, w, bias=None) -> jax.Array:
-    """Apply a (possibly quantized) linear layer; w is [K, N] or QuantizedTensor."""
+def linear(x: jax.Array, w, bias=None, layer=None) -> jax.Array:
+    """Apply a (possibly quantized) linear layer.
+
+    w is [K, N] / QuantizedTensor, or — when ``layer`` is given — the
+    layer-stacked [L, K, N] variant indexed by a traced layer id (the
+    quantized path reads the selected layer inside the Pallas kernel with
+    zero slice copy; dense stacked weights use a dynamic slice which XLA
+    fuses into the dot)."""
     if isinstance(w, QuantizedTensor):
-        y = quantized_matmul(x, w)
+        y = quantized_matmul(x, w, layer=layer)
     else:
+        if layer is not None and w.ndim == 3:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.dot(
             x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
     if bias is not None:
+        if layer is not None and bias.ndim == 2:
+            bias = jax.lax.dynamic_index_in_dim(bias, layer, 0, keepdims=False)
         y = y + bias.astype(y.dtype)
     return y
+
+
+def _dyn(a: jax.Array, i) -> jax.Array:
+    """Select layer i of a stacked [L, ...] array."""
+    return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -244,35 +259,35 @@ class LlamaModel:
 
     # -- projection helpers (fused or per-matrix) -------------------------
 
-    def _attn_proj(self, p, x, b, t):
+    def _attn_proj(self, p, x, b, t, layer=None):
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         if "wqkv" in p:
-            y = linear(x, p["wqkv"])
+            y = linear(x, p["wqkv"], layer=layer)
             nq, nk = hq * dh, hkv * dh
             q = y[..., :nq]
             k = y[..., nq : nq + nk]
             v = y[..., nq + nk :]
         else:
-            q = linear(x, p["wq"], p.get("bq"))
-            k = linear(x, p["wk"], p.get("bk"))
-            v = linear(x, p["wv"], p.get("bv"))
+            q = linear(x, p["wq"], p.get("bq"), layer=layer)
+            k = linear(x, p["wk"], p.get("bk"), layer=layer)
+            v = linear(x, p["wv"], p.get("bv"), layer=layer)
         return (
             q.reshape(b, t, hq, dh),
             k.reshape(b, t, hkv, dh),
             v.reshape(b, t, hkv, dh),
         )
 
-    def _mlp(self, p, x):
+    def _mlp(self, p, x, layer=None):
         if "wgu" in p:
-            y = linear(x, p["wgu"])
+            y = linear(x, p["wgu"], layer=layer)
             di = y.shape[-1] // 2
             g, u = y[..., :di], y[..., di:]
         else:
-            g = linear(x, p["wg"])
-            u = linear(x, p["wu"])
-        return linear(jax.nn.silu(g) * u, p["wd"])
+            g = linear(x, p["wg"], layer=layer)
+            u = linear(x, p["wu"], layer=layer)
+        return linear(jax.nn.silu(g) * u, p["wd"], layer=layer)
 
     def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
         return params["embed"][input_ids]
@@ -325,70 +340,84 @@ class LlamaModel:
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
 
-        def layer_fn(h, layer):
-            p = layer[0]
-            x = rms_norm(h, p["ln1"], eps)
-            q, k, v = self._attn_proj(p, x, b, t)
+        import os as _os
+
+        _abl = _os.environ.get("PIE_ABLATE", "")
+        p = params["layers"]
+
+        def layer_fn(carry, i):
+            if quantized:
+                h, ckq_all, cks_all, cvq_all, cvs_all = carry
+            else:
+                h, ck_all, cv_all = carry
+            x = rms_norm(h, _dyn(p["ln1"], i), eps)
+            q, k, v = self._attn_proj(p, x, b, t, layer=i)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
 
             if quantized:
-                ckq, cks, cvq, cvs = layer[1:]
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                ckq = ckq.at[batch_idx, write_slots].set(kq)
-                cks = cks.at[batch_idx, write_slots].set(ks)
-                cvq = cvq.at[batch_idx, write_slots].set(vq)
-                cvs = cvs.at[batch_idx, write_slots].set(vs)
-                ck = dequantize_kv(ckq, cks, q.dtype)
-                cv = dequantize_kv(cvq, cvs, q.dtype)
-                new_layer_cache = (ckq, cks, cvq, cvs)
+                ckq_all = ckq_all.at[i, batch_idx, write_slots].set(kq)
+                cks_all = cks_all.at[i, batch_idx, write_slots].set(ks)
+                cvq_all = cvq_all.at[i, batch_idx, write_slots].set(vq)
+                cvs_all = cvs_all.at[i, batch_idx, write_slots].set(vs)
+                ck = dequantize_kv(_dyn(ckq_all, i), _dyn(cks_all, i), q.dtype)
+                cv = dequantize_kv(_dyn(cvq_all, i), _dyn(cvs_all, i), q.dtype)
+            elif cache.window is None:
+                # contiguous slots: per-sequence dynamic_update_slice
+                # lowers much better than a general scatter on TPU
+                start = positions[:, 0]
+
+                def write(c, kv, st, il):
+                    return jax.lax.dynamic_update_slice(
+                        c, kv[None], (il, st, 0, 0)
+                    )
+
+                ck_all = jax.vmap(write, in_axes=(1, 0, 0, None), out_axes=1)(
+                    ck_all, k.astype(ck_all.dtype), start, i
+                )
+                cv_all = jax.vmap(write, in_axes=(1, 0, 0, None), out_axes=1)(
+                    cv_all, v.astype(cv_all.dtype), start, i
+                )
+                ck = _dyn(ck_all, i)
+                cv = _dyn(cv_all, i)
             else:
-                ck, cv = layer[1:]
-                if cache.window is None:
-                    # contiguous slots: per-sequence dynamic_update_slice
-                    # lowers much better than a general scatter on TPU
-                    start = positions[:, 0]
+                ck_all = ck_all.at[i, batch_idx, write_slots].set(
+                    k.astype(ck_all.dtype)
+                )
+                cv_all = cv_all.at[i, batch_idx, write_slots].set(
+                    v.astype(cv_all.dtype)
+                )
+                ck = _dyn(ck_all, i)
+                cv = _dyn(cv_all, i)
 
-                    def write(c, kv, st):
-                        return jax.lax.dynamic_update_slice(
-                            c, kv, (st, 0, 0)
-                        )
-
-                    ck = jax.vmap(write)(ck, k.astype(ck.dtype), start)
-                    cv = jax.vmap(write)(cv, v.astype(cv.dtype), start)
-                else:
-                    ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
-                    cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
-                new_layer_cache = (ck, cv)
-
-            import os as _os
-
-            _abl = _os.environ.get("PIE_ABLATE", "")
             if "noattn" in _abl:
                 attn = q
             else:
                 attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
-            h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
+            h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
 
-            x = rms_norm(h, p["ln2"], eps)
+            x = rms_norm(h, _dyn(p["ln2"], i), eps)
             if "nomlp" not in _abl:
-                h = h + self._mlp(p, x)
-            return h, new_layer_cache
+                h = h + self._mlp(p, x, layer=i)
+            if quantized:
+                return (h, ckq_all, cks_all, cvq_all, cvs_all), None
+            return (h, ck_all, cv_all), None
 
+        idxs = jnp.arange(cfg.num_hidden_layers)
         if quantized:
-            xs = (params["layers"], cache.k_q, cache.k_scale, cache.v_q,
-                  cache.v_scale)
-        else:
-            xs = (params["layers"], cache.k, cache.v)
-        h, new_store = jax.lax.scan(layer_fn, h, xs)
-        if quantized:
+            carry0 = (h, cache.k_q, cache.k_scale, cache.v_q, cache.v_scale)
+            carry, _ = jax.lax.scan(layer_fn, carry0, idxs)
+            h = carry[0]
             cache = dataclasses.replace(
-                cache, k_q=new_store[0], k_scale=new_store[1],
-                v_q=new_store[2], v_scale=new_store[3],
+                cache, k_q=carry[1], k_scale=carry[2],
+                v_q=carry[3], v_scale=carry[4],
             )
         else:
-            cache = dataclasses.replace(cache, k=new_store[0], v=new_store[1])
+            carry, _ = jax.lax.scan(layer_fn, (h, cache.k, cache.v), idxs)
+            h = carry[0]
+            cache = dataclasses.replace(cache, k=carry[1], v=carry[2])
         h = rms_norm(h, params["norm"], eps)
         logits = self.unembed(params, h)
         return logits.astype(jnp.float32), cache
@@ -459,28 +488,36 @@ class LlamaModel:
             kv_pos = _paged_kv_positions(block_tables, context_lens)
             mask = attention_mask(positions, kv_pos)
 
-        def layer_fn(h, layer):
-            p = layer[0]
-            x = rms_norm(h, p["ln1"], eps)
-            q, k, v = self._attn_proj(p, x, b, t)
+        lp = params["layers"]
+
+        def layer_fn(carry, i):
+            if quantized:
+                h, apk, apv, apks, apvs = carry
+            else:
+                h, apk, apv = carry
+            x = rms_norm(h, _dyn(lp["ln1"], i), eps)
+            q, k, v = self._attn_proj(lp, x, b, t, layer=i)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
 
             if quantized:
-                pk, pv, pks, pvs = layer[1:]
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                pk = pk.at[phys_safe, slot].set(kq, mode="drop")
-                pv = pv.at[phys_safe, slot].set(vq, mode="drop")
-                pks = pks.at[phys_safe, slot].set(ks, mode="drop")
-                pvs = pvs.at[phys_safe, slot].set(vs, mode="drop")
-                new_layer = (pk, pv, pks, pvs)
+                apk = apk.at[i, phys_safe, slot].set(kq, mode="drop")
+                apv = apv.at[i, phys_safe, slot].set(vq, mode="drop")
+                apks = apks.at[i, phys_safe, slot].set(ks, mode="drop")
+                apvs = apvs.at[i, phys_safe, slot].set(vs, mode="drop")
+                pk, pv = _dyn(apk, i), _dyn(apv, i)
+                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
-                pk, pv = layer[1:3]
                 pks = pvs = None
-                pk = pk.at[phys_safe, slot].set(k.astype(pk.dtype), mode="drop")
-                pv = pv.at[phys_safe, slot].set(v.astype(pv.dtype), mode="drop")
-                new_layer = (pk, pv)
+                apk = apk.at[i, phys_safe, slot].set(
+                    k.astype(apk.dtype), mode="drop"
+                )
+                apv = apv.at[i, phys_safe, slot].set(
+                    v.astype(apv.dtype), mode="drop"
+                )
+                pk, pv = _dyn(apk, i), _dyn(apv, i)
 
             if decode:
                 if use_kernel and jax.default_backend() == "tpu":
@@ -511,23 +548,26 @@ class LlamaModel:
                 cv = cv.reshape(b, s_tot, hkv, dh).astype(q.dtype)
                 attn = sdpa(q, ck, cv, mask, scale)
 
-            h2 = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
-            x = rms_norm(h2, p["ln2"], eps)
-            h2 = h2 + self._mlp(p, x)
-            return h2, new_layer
+            h2 = h + linear(attn.reshape(b, t, hq * dh), lp["wo"], layer=i)
+            x = rms_norm(h2, _dyn(lp["ln2"], i), eps)
+            h2 = h2 + self._mlp(lp, x, layer=i)
+            if quantized:
+                return (h2, apk, apv, apks, apvs), None
+            return (h2, apk, apv), None
 
+        idxs = jnp.arange(cfg.num_hidden_layers)
         if quantized:
-            xs = (params["layers"], pool.k, pool.v, pool.k_scale, pool.v_scale)
-        else:
-            xs = (params["layers"], pool.k, pool.v)
-        h, new_store = jax.lax.scan(layer_fn, h, xs)
-        if quantized:
+            carry0 = (h, pool.k, pool.v, pool.k_scale, pool.v_scale)
+            carry, _ = jax.lax.scan(layer_fn, carry0, idxs)
+            h = carry[0]
             pool = dataclasses.replace(
-                pool, k=new_store[0], v=new_store[1],
-                k_scale=new_store[2], v_scale=new_store[3],
+                pool, k=carry[1], v=carry[2],
+                k_scale=carry[3], v_scale=carry[4],
             )
         else:
-            pool = dataclasses.replace(pool, k=new_store[0], v=new_store[1])
+            carry, _ = jax.lax.scan(layer_fn, (h, pool.k, pool.v), idxs)
+            h = carry[0]
+            pool = dataclasses.replace(pool, k=carry[1], v=carry[2])
         h = rms_norm(h, params["norm"], eps)
         logits = self.unembed(params, h)
         return logits.astype(jnp.float32), pool

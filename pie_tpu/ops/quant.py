@@ -312,13 +312,20 @@ def quantized_matmul(
     x: jax.Array,
     qt: QuantizedTensor,
     impl: Optional[str] = None,
+    layer: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``y = x @ W`` with W group-wise quantized in KN layout.
 
     x: [..., K]; returns [..., N].
     impl: 'pallas' (TPU fused dequant+matmul), 'xla' (dequant + dot), or None
     to auto-select by backend.
+    layer: for layer-stacked weights ([L, ...] arrays), the (traced) layer
+    index — the Pallas kernel DMAs the selected layer's blocks straight
+    from HBM with no slice copy (see quant_matmul_stacked).
     """
+    stacked = qt.packed.ndim == 3
+    if stacked and layer is None:
+        raise ValueError("stacked QuantizedTensor needs a layer index")
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas" and qt.shape[1] % 128 != 0:
@@ -328,12 +335,23 @@ def quantized_matmul(
     batch_shape = x.shape[:-1]
     xm = x.reshape(-1, x.shape[-1])
     if impl == "pallas":
-        from pie_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+        from pie_tpu.ops.quant_matmul_pallas import (
+            quant_matmul_pallas,
+            quant_matmul_stacked,
+        )
 
         if k != qt.padded_k:
             xm = jnp.pad(xm, [(0, 0), (0, qt.padded_k - k)])
-        y = quant_matmul_pallas(xm, qt)
+        if stacked:
+            y = quant_matmul_stacked(xm, layer, qt)
+        else:
+            y = quant_matmul_pallas(xm, qt)
     elif impl == "xla":
+        if stacked:
+            qt = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False),
+                qt,
+            )
         y = _matmul_xla(xm, qt)
     else:
         raise ValueError(f"unknown impl {impl!r}")
