@@ -1,19 +1,28 @@
-"""Headline benchmark: Llama-3.2-1B INT4(g=64) batch-1 greedy decode
-tokens/sec on one chip (charter config #1, BASELINE.md targets).
+"""Headline benchmark (charter targets, BASELINE.md):
+
+- Llama-3-8B INT4(g=64) batch-1 decode tokens/sec on one chip — the
+  north-star metric (>= 90% of the HBM roofline).
+- Llama-3.2-1B INT4(g=64) decode (charter config #1, round-1 continuity).
+- p50 TTFT for the 8B geometry (512-token prompt).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, "extra": {...}}
 vs_baseline = fraction of the per-chip HBM roofline (bytes-per-token model:
-weights+scales read once per decoded token) — target >= 0.9.
+every quantized weight byte streams HBM->VMEM once per decoded token).
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v4": 1228.0, "v5p": 2765.0}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def llama32_1b_config():
@@ -40,9 +49,26 @@ def llama32_1b_config():
     )
 
 
+def llama3_8b_config():
+    from pie_tpu.models.llama import LlamaConfig
+
+    return LlamaConfig(
+        model_type="llama",
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        vocab_size=128256,
+        rope_theta=500000.0,
+        tie_word_embeddings=False,
+    )
+
+
 def quantized_bytes(params) -> int:
-    """HBM bytes streamed per decoded token (weights + scales/biases +
-    embedding row ~0)."""
+    """HBM bytes streamed per decoded token (weights + scales/biases; the
+    bf16 embed table is only gathered one row per token, negligible)."""
     from pie_tpu.ops.quant import QuantizedTensor
 
     total = 0
@@ -53,60 +79,15 @@ def quantized_bytes(params) -> int:
             total += leaf.packed.size * 4
             total += leaf.scales.size * leaf.scales.dtype.itemsize
             total += leaf.biases.size * leaf.biases.dtype.itemsize
-        else:
-            pass
     return total
 
 
-def main():
-    on_tpu = jax.default_backend() == "tpu"
-    from pie_tpu.engine import InferenceEngine
-    from pie_tpu.models.llama import LlamaModel
-
-    if on_tpu:
-        config = llama32_1b_config()
-        steps, chunk = 257, 64  # 1 prefill-sampled token + 4 full chunks
-    else:  # smoke-test geometry for CPU runs
-        from pie_tpu.models.llama import LlamaConfig
-
-        config = LlamaConfig(
-            hidden_size=512, intermediate_size=1024, num_hidden_layers=2,
-            num_attention_heads=8, num_key_value_heads=4, vocab_size=2048,
-            tie_word_embeddings=True,
-        )
-        steps, chunk = 16, 8
-
-    import sys
-
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
-
-    model = LlamaModel(config)
-    log("bench: init params")
-    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    log("bench: quantize")
-    params = model.quantize_params(params, group_size=64, bits=4)
-    # tied embedding stays bf16; decode still reads it for the lm head —
-    # count it in the roofline model
-    # Per-token HBM traffic: every quantized weight (incl. the int4 lm_head
-    # that quantize_params derives from the tied embedding) is streamed once
-    # per decoded token; the bf16 embed table is only gathered one row per
-    # token (negligible), plus norm vectors (negligible).
-    wbytes = quantized_bytes(params)
-
-    engine = InferenceEngine(
-        model=model, params=params, max_seq_len=512, decode_chunk=chunk,
-    )
-
-    prompt = list(range(1, 65))
+def bench_decode(engine, prompt, steps, chunk):
+    """Best-of-3 steady-state decode tokens/sec."""
     # warmup twice: first call compiles prefill + the decode-chunk ladder,
-    # second absorbs post-compile cache effects so the timed region is
-    # steady-state only
-    log("bench: warmup/compile")
+    # second absorbs post-compile cache effects
     engine.generate(prompt, max_completion_tokens=steps, temperature=0.0)
     engine.generate(prompt, max_completion_tokens=chunk + 1, temperature=0.0)
-    log("bench: timing")
-
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
@@ -115,15 +96,98 @@ def main():
         )
         dt = time.perf_counter() - t0
         best = max(best, res.completion_tokens / dt)
-    tok_s = best
+    return best
 
-    gen = "v5e"
-    roofline = HBM_GBPS.get(gen, 819.0) * 1e9 / wbytes
+
+def bench_ttft(engine, prompt_len, n=7):
+    """p50 time-to-first-token for a prompt of ``prompt_len`` tokens."""
+    prompt = list(range(1, prompt_len + 1))
+    # compile the prefill bucket
+    engine.generate(prompt, max_completion_tokens=1, temperature=0.0)
+    times = []
+    for _ in range(n):
+        gen = engine.generate_stream(
+            prompt, max_completion_tokens=2, temperature=0.0
+        )
+        t0 = time.perf_counter()
+        next(gen)  # first token
+        times.append(time.perf_counter() - t0)
+        for _ in gen:
+            pass
+    times.sort()
+    return times[len(times) // 2]
+
+
+def run_geometry(config, steps, chunk, max_seq_len, ttft_prompt=None):
+    from pie_tpu.engine import InferenceEngine
+    from pie_tpu.models.llama import LlamaModel
+
+    model = LlamaModel(config)
+    log(f"bench: init quantized params ({config.num_hidden_layers} layers)")
+    params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
+    wbytes = quantized_bytes(params)
+    engine = InferenceEngine(
+        model=model, params=params, max_seq_len=max_seq_len,
+        decode_chunk=chunk,
+    )
+    log("bench: warmup/compile + timing decode")
+    prompt = list(range(1, 65))
+    tok_s = bench_decode(engine, prompt, steps, chunk)
+    ttft = None
+    if ttft_prompt:
+        log("bench: TTFT")
+        ttft = bench_ttft(engine, ttft_prompt)
+    del engine, params
+    return tok_s, wbytes, ttft
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    gbps = HBM_GBPS.get("v5e", 819.0)
+
+    if not on_tpu:  # smoke-test geometry for CPU runs
+        from pie_tpu.models.llama import LlamaConfig
+
+        config = LlamaConfig(
+            hidden_size=512, intermediate_size=1024, num_hidden_layers=2,
+            num_attention_heads=8, num_key_value_heads=4, vocab_size=2048,
+            tie_word_embeddings=True,
+        )
+        tok_s, wbytes, _ = run_geometry(config, 16, 8, 512)
+        out = {
+            "metric": "llama-smoke_int4g64_b1_decode",
+            "value": round(tok_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / (gbps * 1e9 / wbytes), 4),
+        }
+        print(json.dumps(out))
+        return
+
+    # charter headline: Llama-3-8B INT4(g=64) decode + TTFT
+    tok8, bytes8, ttft8 = run_geometry(
+        llama3_8b_config(), steps=129, chunk=64, max_seq_len=1024,
+        ttft_prompt=512,
+    )
+    roof8 = gbps * 1e9 / bytes8
+    # config #1: Llama-3.2-1B
+    tok1, bytes1, _ = run_geometry(
+        llama32_1b_config(), steps=257, chunk=64, max_seq_len=512,
+    )
+    roof1 = gbps * 1e9 / bytes1
+
     out = {
-        "metric": "llama3.2-1b_int4g64_b1_decode",
-        "value": round(tok_s, 2),
+        "metric": "llama3-8b_int4g64_b1_decode",
+        "value": round(tok8, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tok_s / roofline, 4),
+        "vs_baseline": round(tok8 / roof8, 4),
+        "extra": {
+            "8b_roofline_tok_s": round(roof8, 1),
+            "8b_ttft_p50_ms": round(ttft8 * 1e3, 1) if ttft8 else None,
+            "1b_tok_s": round(tok1, 2),
+            "1b_vs_roofline": round(tok1 / roof1, 4),
+            "weight_bytes_8b": bytes8,
+            "weight_bytes_1b": bytes1,
+        },
     }
     print(json.dumps(out))
 

@@ -1,0 +1,67 @@
+"""Decode-step ablation runner: measures e2e decode tok/s for a geometry
+under each PIE_ABLATE setting (separate process per setting — the ablation
+env is read at trace time).
+
+Usage: python benchmarks/ablate_decode.py [--model 1b|8b]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ABLATIONS = ["", "nocache", "norope", "nocache,norope", "noattn"]
+
+CHILD = r"""
+import sys, time, json
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+import bench as B
+
+geom = sys.argv[1]
+config = B.llama3_8b_config() if geom == "8b" else B.llama32_1b_config()
+from pie_tpu.engine import InferenceEngine
+from pie_tpu.models.llama import LlamaModel
+
+model = LlamaModel(config)
+params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
+engine = InferenceEngine(model=model, params=params,
+                         max_seq_len=1024 if geom == "8b" else 512,
+                         decode_chunk=64)
+steps = 129 if geom == "8b" else 257
+tok_s = B.bench_decode(engine, list(range(1, 65)), steps, 64)
+print(json.dumps({"tok_s": round(tok_s, 2)}))
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="8b", choices=["1b", "8b"])
+    args = ap.parse_args()
+    results = {}
+    for ab in ABLATIONS:
+        env = dict(os.environ)
+        env["PIE_ABLATE"] = ab
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, args.model],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        try:
+            tok = json.loads(line)["tok_s"]
+        except Exception:
+            tok = None
+            print(out.stderr[-500:], file=sys.stderr)
+        results[ab or "full"] = tok
+        ms = 1000.0 / tok if tok else float("nan")
+        print(f"{ab or 'full':>24}: {tok} tok/s = {ms:.3f} ms/tok", flush=True)
+    if results.get("full"):
+        full = 1000.0 / results["full"]
+        for ab, tok in results.items():
+            if ab != "full" and tok:
+                print(f"  {ab} saves {full - 1000.0/tok:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

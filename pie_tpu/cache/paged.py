@@ -7,7 +7,9 @@ PageAllocator (src/engine/page_allocator.cpp), per-sequence page tables
 (include/sequence/sequence.hpp:31-79), consolidated block tables co-designed
 with the attention kernel (include/engine/batch_details.hpp:53-65).
 
-TPU-first: the pool is one global HBM array per K/V ([L, P, page, Hkv, Dh]),
+TPU-first: the pool is one global HBM array per K/V ([L, P, Hkv, page, Dh] —
+head-major so the attention kernel's per-head tiles are leading-dim slices
+with clean (page x head_dim) sublane/lane tiling at any head_dim),
 sequences own page-id lists handed out by the (C++-backed) PageAllocator, and
 batches address the pool through fixed-shape block tables [B, max_pages].
 INT8 KV uses per-(token, head) scales like the reference page layout.
@@ -36,8 +38,8 @@ PAGE_SIZE = TOKENS_PER_PAGE
 class PagedKVPool:
     """Device-side page pool.
 
-    k, v: [L, P, PAGE_SIZE, Hkv, Dh] (bf16, or int8 when quantized)
-    k_scale, v_scale: [L, P, PAGE_SIZE, Hkv, 1] f32 (zeros when not quantized)
+    k, v: [L, P, Hkv, PAGE_SIZE, Dh] (bf16, or int8 when quantized)
+    k_scale, v_scale: [L, P, Hkv, PAGE_SIZE, 1] f32 (zeros when not quantized)
     """
 
     k: jax.Array
@@ -56,8 +58,8 @@ class PagedKVPool:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKVPool":
-        shape = (num_layers, num_pages, PAGE_SIZE, num_kv_heads, head_dim)
-        sshape = (num_layers, num_pages, PAGE_SIZE, num_kv_heads, 1)
+        shape = (num_layers, num_pages, num_kv_heads, PAGE_SIZE, head_dim)
+        sshape = (num_layers, num_pages, num_kv_heads, PAGE_SIZE, 1)
         store_dtype = jnp.int8 if quantized else dtype
         sdt = jnp.float32
         return cls(
@@ -170,7 +172,9 @@ def write_tokens(
     phys_safe = jnp.where(phys >= 0, phys, num_pages)
 
     def scat(arr, val):
-        return arr.at[layer_idx, phys_safe, slot].set(
+        # advanced indices around the head slice put (B, T) in front, so the
+        # value keeps its natural [B, T, Hkv, ...] shape
+        return arr.at[layer_idx, phys_safe, :, slot].set(
             val.astype(arr.dtype), mode="drop"
         )
 
@@ -183,8 +187,12 @@ def write_tokens(
             pool,
             k=scat(pool.k, kq),
             v=scat(pool.v, vq),
-            k_scale=pool.k_scale.at[layer_idx, phys_safe, slot].set(ks, mode="drop"),
-            v_scale=pool.v_scale.at[layer_idx, phys_safe, slot].set(vs, mode="drop"),
+            k_scale=pool.k_scale.at[layer_idx, phys_safe, :, slot].set(
+                ks, mode="drop"
+            ),
+            v_scale=pool.v_scale.at[layer_idx, phys_safe, :, slot].set(
+                vs, mode="drop"
+            ),
         )
     return dataclasses.replace(
         pool, k=scat(pool.k, layer_k), v=scat(pool.v, layer_v)
@@ -200,13 +208,15 @@ def gather_kv(
     """Gather a layer's K/V for a batch into dense [B, maxP*PAGE, Hkv, Dh]
     (XLA reference path for tests and the pre-kernel fallback)."""
     bt = jnp.maximum(block_tables, 0)
-    k = pool.k[layer_idx][bt]  # [B, maxP, PAGE, H, D]
+    k = pool.k[layer_idx][bt]  # [B, maxP, H, PAGE, D]
     v = pool.v[layer_idx][bt]
     if pool.quantized:
         ks = pool.k_scale[layer_idx][bt]
         vs = pool.v_scale[layer_idx][bt]
         k = k.astype(jnp.float32) * ks
         v = v.astype(jnp.float32) * vs
+    k = jnp.swapaxes(k, 2, 3)  # [B, maxP, PAGE, H, D]
+    v = jnp.swapaxes(v, 2, 3)
     b, mp, pg, h, d = k.shape
     return (
         k.reshape(b, mp * pg, h, d).astype(dtype),

@@ -254,6 +254,64 @@ class LlamaModel:
             )
         return out
 
+    def init_quantized_params(
+        self, key: jax.Array, group_size: int = 64, bits: int = 4,
+        dtype=jnp.bfloat16,
+    ) -> dict:
+        """Random params built DIRECTLY in quantized form (random packed
+        codes + sane scales). Lets benchmarks stand up geometries whose bf16
+        init would not fit HBM (e.g. Llama-3-8B on a 16 GB chip); decode
+        throughput does not depend on weight content."""
+        from pie_tpu.ops.quant import QuantizedTensor
+
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.resolved_head_dim
+        hq, hkv, di = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.intermediate_size,
+        )
+        l = cfg.num_hidden_layers
+        ep = 32 // bits
+        keys = iter(jax.random.split(key, 24))
+
+        def rq(kk, *shape):
+            """Random stacked QuantizedTensor of logical shape [L, K, N]."""
+            ll, k, n = shape
+            kp = -(-k // 512) * 512
+            g = group_size
+            sc = 0.02 / np.sqrt(k)
+            packed = jax.random.bits(kk, (ll, kp // ep, n), jnp.uint32)
+            scales = jnp.full((ll, kp // g, n), sc, dtype)
+            biases = jnp.full((ll, kp // g, n), -sc * (2 ** bits - 1) / 2, dtype)
+            return QuantizedTensor(
+                packed=packed, scales=scales, biases=biases,
+                bits=bits, group_size=g, shape=(k, n),
+            )
+
+        layers = {
+            "wqkv": rq(next(keys), l, d, (hq + 2 * hkv) * dh),
+            "wo": rq(next(keys), l, hq * dh, d),
+            "wgu": rq(next(keys), l, d, 2 * di),
+            "wd": rq(next(keys), l, di, d),
+            "ln1": jnp.ones((l, d), dtype),
+            "ln2": jnp.ones((l, d), dtype),
+        }
+        params = {
+            "embed": (
+                jax.random.normal(next(keys), (cfg.vocab_size, d), dtype)
+                * 0.02
+            ),
+            "layers": layers,
+            "norm": jnp.ones((d,), dtype),
+        }
+        lm = rq(next(keys), 1, d, cfg.vocab_size)
+        params["lm_head"] = QuantizedTensor(
+            packed=lm.packed[0], scales=lm.scales[0], biases=lm.biases[0],
+            bits=bits, group_size=group_size, shape=lm.shape,
+        )
+        return params
+
     # -- forward ----------------------------------------------------------
 
 
@@ -352,8 +410,19 @@ class LlamaModel:
                 h, ck_all, cv_all = carry
             x = rms_norm(h, _dyn(p["ln1"], i), eps)
             q, k, v = self._attn_proj(p, x, b, t, layer=i)
-            q = apply_rope(q, positions, inv_freq)
-            k = apply_rope(k, positions, inv_freq)
+            if "norope" not in _abl:
+                q = apply_rope(q, positions, inv_freq)
+                k = apply_rope(k, positions, inv_freq)
+
+            if "nocache" in _abl:
+                attn = q
+                h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
+                x = rms_norm(h, _dyn(p["ln2"], i), eps)
+                if "nomlp" not in _abl:
+                    h = h + self._mlp(p, x, layer=i)
+                if quantized:
+                    return (h, ckq_all, cks_all, cvq_all, cvs_all), None
+                return (h, ck_all, cv_all), None
 
             if quantized:
                 kq, ks = quantize_kv(k)
@@ -500,21 +569,23 @@ class LlamaModel:
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
 
+            # pool is head-major [L, P, Hkv, PAGE, D]; the advanced indices
+            # around the head slice keep values in natural [B, T, Hkv, ...]
             if quantized:
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                apk = apk.at[i, phys_safe, slot].set(kq, mode="drop")
-                apv = apv.at[i, phys_safe, slot].set(vq, mode="drop")
-                apks = apks.at[i, phys_safe, slot].set(ks, mode="drop")
-                apvs = apvs.at[i, phys_safe, slot].set(vs, mode="drop")
+                apk = apk.at[i, phys_safe, :, slot].set(kq, mode="drop")
+                apv = apv.at[i, phys_safe, :, slot].set(vq, mode="drop")
+                apks = apks.at[i, phys_safe, :, slot].set(ks, mode="drop")
+                apvs = apvs.at[i, phys_safe, :, slot].set(vs, mode="drop")
                 pk, pv = _dyn(apk, i), _dyn(apv, i)
                 pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
                 pks = pvs = None
-                apk = apk.at[i, phys_safe, slot].set(
+                apk = apk.at[i, phys_safe, :, slot].set(
                     k.astype(apk.dtype), mode="drop"
                 )
-                apv = apv.at[i, phys_safe, slot].set(
+                apv = apv.at[i, phys_safe, :, slot].set(
                     v.astype(apv.dtype), mode="drop"
                 )
                 pk, pv = _dyn(apk, i), _dyn(apv, i)
@@ -537,11 +608,13 @@ class LlamaModel:
                     )[:, None]
             else:
                 bt_idx = safe_tables
-                ck = pk[bt_idx]
+                ck = pk[bt_idx]  # [B, maxP, Hkv, PAGE, D]
                 cv = pv[bt_idx]
                 if quantized:
                     ck = ck.astype(jnp.float32) * pks[bt_idx]
                     cv = cv.astype(jnp.float32) * pvs[bt_idx]
+                ck = jnp.swapaxes(ck, 2, 3)  # [B, maxP, PAGE, Hkv, D]
+                cv = jnp.swapaxes(cv, 2, 3)
                 mp = bt_idx.shape[1]
                 s_tot = mp * paged_mod.PAGE_SIZE
                 ck = ck.reshape(b, s_tot, hkv, dh).astype(q.dtype)

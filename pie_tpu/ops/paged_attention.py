@@ -36,23 +36,25 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def paged_attention_xla(
     q: jax.Array,  # [B, Hq, D]
-    pool_k_layer: jax.Array,  # [P, PAGE, Hkv, D] (+ optional scales)
+    pool_k_layer: jax.Array,  # [P, Hkv, PAGE, D] (+ optional scales)
     pool_v_layer: jax.Array,
     block_tables: jax.Array,  # [B, maxP] int32 (-1 pad)
     context_lens: jax.Array,  # [B]
     scale: float,
-    k_scale: Optional[jax.Array] = None,  # [P, PAGE, Hkv, 1]
+    k_scale: Optional[jax.Array] = None,  # [P, Hkv, PAGE, 1]
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, hq, d = q.shape
     bt = jnp.maximum(block_tables, 0)
-    k = pool_k_layer[bt]  # [B, maxP, PAGE, Hkv, D]
+    k = pool_k_layer[bt]  # [B, maxP, Hkv, PAGE, D]
     v = pool_v_layer[bt]
     if k_scale is not None:
         k = k.astype(jnp.float32) * k_scale[bt]
         v = v.astype(jnp.float32) * v_scale[bt]
     mp = bt.shape[1]
-    hkv = k.shape[3]
+    hkv = k.shape[2]
+    k = jnp.swapaxes(k, 2, 3)  # [B, maxP, PAGE, Hkv, D]
+    v = jnp.swapaxes(v, 2, 3)
     s = mp * PAGE_SIZE
     k = k.reshape(b, s, hkv, d)
     v = v.reshape(b, s, hkv, d)
@@ -79,16 +81,16 @@ def _decode_kernel(
     context_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, Hq, D] VMEM block for this b
-    k_pool_ref,  # [P, PAGE, Hkv, D] in ANY/HBM
+    k_pool_ref,  # [P, Hkv, PAGE, D] in ANY/HBM
     v_pool_ref,
-    ks_pool_ref,  # [P, PAGE, Hkv, 1] or [1,1,1,1] dummy
+    ks_pool_ref,  # [P, Hkv, PAGE, 1] or [1,1,1,1] dummy
     vs_pool_ref,
     # outputs
     out_ref,  # [1, Hq, D]
     # scratch
-    k_buf,  # [2, PAGE, Hkv, D]
+    k_buf,  # [2, Hkv, PAGE, D]
     v_buf,
-    ks_buf,  # [2, PAGE, Hkv, 1]
+    ks_buf,  # [2, Hkv, PAGE, 1]
     vs_buf,
     sems,  # DMA sems [2, 4]
     *,
@@ -143,25 +145,20 @@ def _decode_kernel(
         for c in page_dma(slot, p):
             c.wait()
 
-        if quantized:
-            k_page = k_buf[slot].astype(jnp.float32) * ks_buf[slot]
-            v_page = v_buf[slot].astype(jnp.float32) * vs_buf[slot]
-        else:
-            k_page = k_buf[slot].astype(jnp.float32)  # [PAGE, Hkv, D]
-            v_page = v_buf[slot].astype(jnp.float32)
-
         # token validity within this page
         tok_pos = p * PAGE_SIZE + jax.lax.broadcasted_iota(
             jnp.int32, (1, PAGE_SIZE), 1
         )
         valid = tok_pos < ctx_len  # [1, PAGE]
 
-        new_m, new_l, new_acc = m, l, acc
-        # per-kv-head dot: q heads [rep, D] x page [PAGE, D]
+        # per-kv-head tiles are leading-dim slices of the head-major page
+        # buffer: [PAGE, D] with clean sublane/lane tiling at any head_dim
         scores_heads = []
         for h in range(num_kv_heads):
             qh = q[h * rep:(h + 1) * rep, :]  # [rep, D] (static slice)
-            kh = k_page[:, h, :]  # [PAGE, D]
+            kh = k_buf[slot, h].astype(jnp.float32)  # [PAGE, D]
+            if quantized:
+                kh = kh * ks_buf[slot, h]
             s_h = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -177,7 +174,9 @@ def _decode_kernel(
         pv_heads = []
         for h in range(num_kv_heads):
             ph = probs[h * rep:(h + 1) * rep, :]  # static slice
-            vh = v_page[:, h, :]  # [PAGE, D]
+            vh = v_buf[slot, h].astype(jnp.float32)  # [PAGE, D]
+            if quantized:
+                vh = vh * vs_buf[slot, h]
             pv_heads.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
             )  # [rep, D]
@@ -201,9 +200,9 @@ def _decode_kernel(
 )
 def paged_attention_decode(
     q: jax.Array,  # [B, Hq, D]
-    pool_k_layer: jax.Array,  # [P, PAGE, Hkv, D]
+    pool_k_layer: jax.Array,  # [P, Hkv, PAGE, D]
     pool_v_layer: jax.Array,
-    ks_layer: jax.Array,  # [P, PAGE, Hkv, 1] (ignored unless int8 pool)
+    ks_layer: jax.Array,  # [P, Hkv, PAGE, 1] (ignored unless int8 pool)
     vs_layer: jax.Array,
     block_tables: jax.Array,  # [B, maxP]
     context_lens: jax.Array,  # [B]
@@ -211,7 +210,7 @@ def paged_attention_decode(
     interpret: bool = False,
 ) -> jax.Array:
     b, hq, d = q.shape
-    p, page, hkv, _ = pool_k_layer.shape
+    p, hkv, page, _ = pool_k_layer.shape
     assert page == PAGE_SIZE
     rep = hq // hkv
     max_pages = block_tables.shape[1]
@@ -229,10 +228,10 @@ def paged_attention_decode(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, PAGE_SIZE, hkv, d), pool_k_layer.dtype),
-            pltpu.VMEM((2, PAGE_SIZE, hkv, d), pool_k_layer.dtype),
-            pltpu.VMEM((2, PAGE_SIZE, hkv, 1), jnp.float32),
-            pltpu.VMEM((2, PAGE_SIZE, hkv, 1), jnp.float32),
+            pltpu.VMEM((2, hkv, PAGE_SIZE, d), pool_k_layer.dtype),
+            pltpu.VMEM((2, hkv, PAGE_SIZE, d), pool_k_layer.dtype),
+            pltpu.VMEM((2, hkv, PAGE_SIZE, 1), jnp.float32),
+            pltpu.VMEM((2, hkv, PAGE_SIZE, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )

@@ -49,9 +49,32 @@ from pie_tpu.ops.quant import PACK_TILE_K, QuantizedTensor
 DEFAULT_BM = 256
 DEFAULT_BN = 512
 DEFAULT_BK = 512
-# Decode (small M): fewer, larger grid steps.
-DECODE_BN = 1024
-DECODE_BK = 2048
+# Decode (small M): fewer, larger grid steps (measured on v5e: bk=4096 /
+# bn=2048 streams the int4 planes at ~850-980 GB/s vs ~560 at 2048/1024).
+DECODE_BN = 2048
+DECODE_BK = 4096
+# scoped-VMEM budget for tile selection: 16 MB hardware limit less slack
+# for Mosaic's own scratch
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _tile_vmem_bytes(bm: int, bn: int, bk: int, ep: int, g: int) -> int:
+    """Estimated VMEM bytes for one grid step (inputs double-buffered)."""
+    packed = (bk // ep) * bn * 4 * 2
+    scales = (bk // g) * bn * 4 * 2 * 2  # scales + biases
+    x = bm * bk * 2 * 2
+    acc = bm * bn * 4
+    out = bm * bn * 2 * 2
+    return packed + scales + x + acc + out
+
+
+def _fit_tiles(bm: int, bn: int, bk: int, ep: int, g: int) -> tuple[int, int]:
+    """Shrink (bk, then bn) until the grid step fits the VMEM budget."""
+    while _tile_vmem_bytes(bm, bn, bk, ep, g) > VMEM_BUDGET and bk > PACK_TILE_K:
+        bk //= 2
+    while _tile_vmem_bytes(bm, bn, bk, ep, g) > VMEM_BUDGET and bn > 256:
+        bn //= 2
+    return bn, bk
 
 def _plane_codes(pk, j):
     """Extract plane j of a packed word block [64, bn] -> exact bf16 values
@@ -83,6 +106,13 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
     gpt = PACK_TILE_K // g  # groups per 512-row tile
     n_tiles = bk // PACK_TILE_K
     wrows = 64 if bits == 4 else 128  # packed word rows per tile
+    # Decode (small M): dot each group's codes unscaled and apply the group
+    # scale to the [bm, bn] f32 partial AFTER the MXU — zero per-element
+    # scale work on the VPU and EXACT affine dequant (bf16 products of
+    # exact code values accumulate in f32; the scale multiplies in f32).
+    # For large M (prefill) the post-scale would cost ops on [bm, bn] per
+    # group, so dequantize per-element instead (MXU-bound there anyway).
+    post_scale = bm <= 32 and g >= 64
 
     xb = x_ref[:].astype(jnp.bfloat16)
     acc = acc_ref[:]
@@ -108,29 +138,47 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
             # n = lo + 16*hi: w = 16s*t_lo + 256s*t_hi + (b - 272 s)
             b_eff = b32 - 272.0 * s32
             plane_sets = ((0, 16.0), (64, 256.0))
-        acc = acc + jnp.dot(xg, b_eff, preferred_element_type=jnp.float32)
+        # HIGHEST precision: this f32 dot must not drop to a single bf16
+        # MXU pass — b_eff carries the 16s offset correction whose bf16
+        # rounding would put ~0.03*scale of noise on every weight
+        acc = acc + jnp.dot(
+            xg, b_eff, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
         for row0, smul in plane_sets:
             pk = packed_ref[t * wrows + row0: t * wrows + row0 + 64, :]
-            s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
             spp = max(1, 128 // g)  # scale rows per 128-row plane
-            for j in range(4):
-                codes = _plane_codes(pk, j)  # [128, bn] bf16, 1 + n/16
-                if g >= 128:
-                    # one group spans >= a whole plane; group of plane j is
-                    # (128j) // g
-                    srow = s128[(128 * j) // g][None, :]
-                    wd = codes * srow
-                else:
-                    srep = _row_repeat(
-                        s128[j * spp:(j + 1) * spp, :], g
-                    )  # [128, bn]
-                    wd = codes * srep
-                xt = xb[:, t * PACK_TILE_K + 128 * j:
-                        t * PACK_TILE_K + 128 * (j + 1)]
-                acc = acc + jnp.dot(
-                    xt, wd, preferred_element_type=jnp.float32
-                )
+            if post_scale:
+                s_eff = s32 * smul  # [gpt, bn] f32
+                for j in range(4):
+                    codes = _plane_codes(pk, j)  # [128, bn] bf16, 1 + n/16
+                    for i in range(spp):
+                        grow = (128 * j) // g + i
+                        xs_ = xb[:, t * PACK_TILE_K + 128 * j + i * g:
+                                 t * PACK_TILE_K + 128 * j + (i + 1) * g]
+                        part = jnp.dot(
+                            xs_, codes[i * g:(i + 1) * g, :],
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = acc + part * s_eff[grow][None, :]
+            else:
+                s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
+                for j in range(4):
+                    codes = _plane_codes(pk, j)
+                    if g >= 128:
+                        srow = s128[(128 * j) // g][None, :]
+                        wd = codes * srow
+                    else:
+                        srep = _row_repeat(
+                            s128[j * spp:(j + 1) * spp, :], g
+                        )  # [128, bn]
+                        wd = codes * srep
+                    xt = xb[:, t * PACK_TILE_K + 128 * j:
+                            t * PACK_TILE_K + 128 * (j + 1)]
+                    acc = acc + jnp.dot(
+                        xt, wd, preferred_element_type=jnp.float32
+                    )
     acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
@@ -170,6 +218,7 @@ def quant_matmul_pallas(
     # scales/biases blocks are [bk//g, bn]; sublane dim must be a multiple of
     # 8 or span the whole array, so cover at least 8 groups per K tile.
     bk = min(max(bk, 8 * g), kpad)
+    bn, bk = _fit_tiles(bm, bn, bk, ep, g)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
 
@@ -253,6 +302,7 @@ def quant_matmul_stacked(
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, _round_up(n, 128))
     bk = min(max(bk, 8 * g), kpad)
+    bn, bk = _fit_tiles(bm, bn, bk, ep, g)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
     kernel = functools.partial(
