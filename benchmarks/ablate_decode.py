@@ -1,6 +1,7 @@
 """Decode-step ablation runner: measures e2e decode tok/s for a geometry
-under each PIE_ABLATE setting (separate process per setting — the ablation
-env is read at trace time).
+under each ablation setting (separate process per setting — the ablation
+set is read at trace time via the bench-only ``_ablate`` attributes on
+LlamaModel / EngineCore; production code never consults it).
 
 Usage: python benchmarks/ablate_decode.py [--model 1b|8b]
 """
@@ -20,15 +21,18 @@ sys.path.insert(0, "/root/repo")
 import bench as B
 
 geom = sys.argv[1]
+ablate = frozenset(filter(None, sys.argv[2].split(",")))
 config = B.llama3_8b_config() if geom == "8b" else B.llama32_1b_config()
 from pie_tpu.engine import InferenceEngine
 from pie_tpu.models.llama import LlamaModel
 
 model = LlamaModel(config)
+model._ablate = ablate
 params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
 engine = InferenceEngine(model=model, params=params,
                          max_seq_len=1024 if geom == "8b" else 512,
                          decode_chunk=64)
+engine.core._ablate = ablate
 steps = 129 if geom == "8b" else 257
 tok_s = B.bench_decode(engine, list(range(1, 65)), steps, 64)
 print(json.dumps({"tok_s": round(tok_s, 2)}))
@@ -41,11 +45,9 @@ def main():
     args = ap.parse_args()
     results = {}
     for ab in ABLATIONS:
-        env = dict(os.environ)
-        env["PIE_ABLATE"] = ab
         out = subprocess.run(
-            [sys.executable, "-c", CHILD, args.model],
-            env=env, capture_output=True, text=True, timeout=900,
+            [sys.executable, "-c", CHILD, args.model, ab],
+            env=dict(os.environ), capture_output=True, text=True, timeout=900,
         )
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
         try:

@@ -137,8 +137,10 @@ def main():
             vocab_size=V, tie_word_embeddings=False,
         )
     model = LlamaModel(cfg)
-    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = model.quantize_params(params, group_size=args.group, bits=args.bits)
+    # build quantized weights directly — a bf16 8B pass would not fit HBM
+    params = model.init_quantized_params(
+        jax.random.PRNGKey(0), args.group, args.bits
+    )
 
     core = EngineCore(model, params, batch_size=1, max_seq_len=512)
     state = core.new_state()

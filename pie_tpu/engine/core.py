@@ -21,14 +21,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-import os
-
 from pie_tpu.cache.kv_cache import make_kv_cache
 
-# bench-only ablation switches (PIE_ABLATE=nosample,nohead,noproc,...)
-ABLATE = set(
-    filter(None, os.environ.get("PIE_ABLATE", "").split(","))
-)
 from pie_tpu.ops.sampling import (
     SamplingParams,
     apply_logit_bias,
@@ -99,6 +93,10 @@ class DecodeState:
 
 class EngineCore:
     """Compiled prefill/decode for one model + fixed batch geometry."""
+
+    #: bench-only ablation switches ("noproc", "nosample"); set by
+    #: benchmarks/ablate_decode.py, never in production.
+    _ablate: frozenset = frozenset()
 
     def __init__(
         self,
@@ -260,7 +258,7 @@ class EngineCore:
                 state.lengths[:, None],
             )
             logits = logits[:, 0]
-            if "noproc" in ABLATE:
+            if "noproc" in self._ablate:
                 proc = logits
             else:
                 proc = self._process_logits(
@@ -268,7 +266,7 @@ class EngineCore:
                     allowed_mask,
                 )
             key, sub = jax.random.split(state.key)
-            if "nosample" in ABLATE:
+            if "nosample" in self._ablate:
                 token = logits[:, :8].argmax(-1).astype(jnp.int32)
             else:
                 token = sample(proc, sampling, sub, kind=sampler_kind)

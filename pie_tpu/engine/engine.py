@@ -289,7 +289,11 @@ class InferenceEngine:
             mx.async_eval one-step lookahead (engine/inference_engine.py:
             279-289). Done lanes are frozen on-device, so a speculative
             chunk after a stop token only emits PAD and never corrupts
-            state."""
+            state.  RNG caveat: a speculative chunk still splits state.key
+            on frozen lanes, so with temperature>0 the sampling stream of a
+            *subsequent* request on a reused engine depends on
+            pipeline_chunks and where the stop token landed; per-request
+            seeds are unaffected."""
             nonlocal state, planned
             steps = _decode_steps(self.decode_chunk, max_tokens - planned)
             state, outs = self.core._decode(

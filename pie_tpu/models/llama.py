@@ -101,6 +101,10 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 class LlamaModel:
     """Functional Llama decoder. All state lives in the params pytree."""
 
+    #: bench-only ablation switches ("norope", "noattn", "nomlp", "nocache",
+    #: "nohead"); set by benchmarks/ablate_decode.py, never in production.
+    _ablate: frozenset = frozenset()
+
     def __init__(self, config: LlamaConfig):
         self.config = config
         self.inv_freq = jnp.asarray(
@@ -351,9 +355,7 @@ class LlamaModel:
         return params["embed"][input_ids]
 
     def unembed(self, params: dict, h: jax.Array) -> jax.Array:
-        import os
-
-        if "nohead" in os.environ.get("PIE_ABLATE", ""):
+        if "nohead" in self._ablate:
             return jnp.broadcast_to(
                 h.sum(-1, keepdims=True),
                 h.shape[:-1] + (self.config.vocab_size,),
@@ -398,9 +400,7 @@ class LlamaModel:
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
 
-        import os as _os
-
-        _abl = _os.environ.get("PIE_ABLATE", "")
+        _abl = self._ablate
         p = params["layers"]
 
         def layer_fn(carry, i):
