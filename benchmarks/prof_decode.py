@@ -32,26 +32,32 @@ def bench(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_op(fn, x, iters=100, reps=3):
-    """Time ``fn(x)`` amortized inside one jitted scan (the device is behind
-    a dispatch tunnel; per-call host timing is dominated by round-trips)."""
+def bench_op(fn, x, *consts, iters=100, reps=3):
+    """Time ``fn(x, *consts)`` amortized inside one jitted scan (the device
+    is behind a dispatch tunnel; per-call host timing is dominated by
+    round-trips). ``consts`` MUST be jit arguments — closing over device
+    arrays embeds them as HLO constants (slow compile; the tunnel rejects
+    >100MB programs with HTTP 413)."""
 
     @jax.jit
-    def loop(x):
+    def loop(x, *consts):
         def body(c, _):
-            y = fn(c)
+            y = fn(c, *consts)
             # feed a cheap function of the output back in to keep the loop
-            # serial without changing the op's shape
-            c2 = c * 0.999 + y[:1, :1].astype(c.dtype) * 0.0
+            # serial without changing the op's shape; the factor must be
+            # non-zero or XLA dead-code-eliminates the op entirely
+            c2 = c * 0.999 + y[:1, :1].astype(c.dtype) * jnp.asarray(
+                1e-8, c.dtype
+            )
             return c2, ()
         c, _ = jax.lax.scan(body, x, None, length=iters)
         return c
 
-    loop(x).block_until_ready()
+    loop(x, *consts).block_until_ready()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
+        loop(x, *consts).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -100,7 +106,7 @@ def main():
         qt = quantize(w, args.group, args.bits)
         qt = jax.tree.map(jax.device_put, qt)
         x = jnp.ones((m, qt.padded_k), jnp.bfloat16)
-        dt = bench_op(lambda x, qt=qt: quant_matmul_pallas(x, qt), x)
+        dt = bench_op(quant_matmul_pallas, x, qt)
         nbytes = qt_bytes(qt)
         gbs = nbytes / dt / 1e9
         frac = gbs / HBM_GBPS

@@ -9,10 +9,17 @@ scheduler.cpp:22-27), page allocation per 64 tokens with exhaustion ->
 queueing (src/engine/page_allocator.cpp:68-73), per-sequence sampling and
 logits params (include/sequence/sampling_params.hpp, logits_params.hpp).
 
-TPU-first: fixed batch lanes + fixed-shape jitted device programs. Prefill
-runs one sequence chunk at a time (chunked, bucketed); decode runs one
-batched step over every DECODING lane through the Pallas paged-attention
-kernel. Changing batch composition never recompiles: lane state is data.
+TPU-first: fixed batch lanes + ONE fixed-shape jitted chunk program
+(PagedEngine._chunk_impl -> LlamaModel.mixed_forward). Each device step
+advances every live decode lane one token through the Pallas paged-attention
+kernel AND carries a prefill-rider slice of some sequence's prompt through
+the SAME weight stream — the reference's BatchDetails mixed batch
+(include/engine/batch_details.hpp:10-88) with static shapes: frozen lanes
+and rider pads are position -1, not a shape change, so changing batch
+composition never recompiles and decode never stalls behind a prefill. The
+host syncs once per chunk of ``decode_steps`` steps, not per token; lane
+wake-ups (prompt finished -> first decode step) are precomputed data because
+prefill progress inside a chunk is deterministic.
 """
 
 from __future__ import annotations
@@ -91,6 +98,7 @@ class PagedEngine:
         num_pages: int = 512,
         max_pages_per_seq: int = 32,
         prefill_chunk: int = 256,
+        rider_width: int = 64,
         kv_dtype=jnp.bfloat16,
         kv_quantized: bool = False,
         history_len: int = 64,
@@ -102,6 +110,7 @@ class PagedEngine:
         self.num_lanes = num_lanes
         self.max_pages_per_seq = max_pages_per_seq
         self.prefill_chunk = prefill_chunk
+        self.rider_width = rider_width
         self.history_len = history_len
         self.pool = PagedKVPool.create(
             cfg.num_hidden_layers,
@@ -119,6 +128,10 @@ class PagedEngine:
             static_argnames=("sampler_kind",),
         )
         self._sample_first = jax.jit(self._sample_first_impl)
+        self._chunk = jax.jit(
+            self._chunk_impl, donate_argnames=("pool",),
+            static_argnames=("num_steps", "sampler_kind"),
+        )
 
     # -- device programs -------------------------------------------------
 
@@ -161,13 +174,110 @@ class PagedEngine:
         tokens = jnp.where(active, tokens, PAD_TOKEN)
         return tokens, pool, key
 
+    def _chunk_impl(
+        self, params, pool,
+        last_tokens,  # [B]
+        context_lens,  # [B] tokens already in the pool per lane
+        block_tables,  # [B, maxP]
+        histories,  # [B, H]
+        done,  # [B] bool — True = frozen (finished / not yet woken)
+        produced,  # [B] int32 tokens generated so far
+        max_new,  # [B] int32 per-lane budget
+        stop_ids,  # [B, S] int32 (-1 pad)
+        sampling, pen_rep, pen_pres, pen_freq,  # [B] param arrays
+        pf_ids_steps,  # [N, Cs] prefill rider tokens per step (-1 pad)
+        pf_pos_steps,  # [N, Cs]
+        pf_lane_steps,  # [N] lane whose table each step's rider uses
+        pf_ctx_steps,  # [N] rider-lane pool tokens after each step's slice
+        wake_step,  # [B] step at which the lane starts decoding (-1 never)
+        wake_tokens,  # [B] the prompt's final token (first decode input)
+        wake_ctx,  # [B] pool tokens at wake (= prompt_len - 1)
+        wake_hist,  # [B, H] history seeded with the prompt tail
+        key,
+        num_steps: int,
+        sampler_kind: str = "auto",
+    ):
+        """N mixed continuous-batching steps fully on-device (one host sync
+        per chunk instead of per token): every step advances all live decode
+        lanes one token AND carries one prefill-rider slice through
+        ``mixed_forward``. Lanes wake at host-precomputed steps (prefill
+        progress is deterministic, so activation is data, not control flow).
+        On-device stop handling mirrors EngineCore._decode_impl: stop-token
+        and length detection freeze a lane (done mask) and further steps
+        emit PAD.
+        """
+
+        def step(carry, xs):
+            pool, last, ctx, hist, done, prod, key = carry
+            pf_ids, pf_pos, pf_lane, pf_ctx, s = xs
+
+            wake = wake_step == s
+            last = jnp.where(wake, wake_tokens, last)
+            ctx = jnp.where(wake, wake_ctx, ctx)
+            hist = jnp.where(wake[:, None], wake_hist, hist)
+            done = done & ~wake
+
+            active = ~done
+            dec_pos = jnp.where(active, ctx, -1)
+            dec_ctx = jnp.where(active, ctx + 1, 1)
+            logits, pool = self.model.mixed_forward(
+                params, pool, last, dec_pos, dec_ctx, block_tables,
+                pf_ids, pf_pos, pf_lane, pf_ctx,
+            )
+            logits = repetition_penalty(logits, hist, pen_rep)
+            logits = presence_frequency_penalty(
+                logits, hist, pen_pres, pen_freq
+            )
+            key, sub = jax.random.split(key)
+            tok = sample(logits, sampling, sub, kind=sampler_kind)
+            tok = jnp.where(active, tok, last)
+            emitted = jnp.where(active, tok, PAD_TOKEN)
+
+            hit_stop = jnp.any(tok[:, None] == stop_ids, axis=1)
+            prod = prod + active.astype(jnp.int32)
+            done = done | (active & (hit_stop | (prod >= max_new)))
+            ctx = ctx + active.astype(jnp.int32)
+            hist = jnp.where(
+                active[:, None],
+                jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1),
+                hist,
+            )
+            return (pool, tok, ctx, hist, done, prod, key), emitted
+
+        xs = (
+            pf_ids_steps, pf_pos_steps, pf_lane_steps, pf_ctx_steps,
+            jnp.arange(num_steps, dtype=jnp.int32),
+        )
+        carry0 = (
+            pool, last_tokens, context_lens, histories, done, produced, key
+        )
+        carry, emitted = jax.lax.scan(step, carry0, xs, length=num_steps)
+        pool, last, ctx, hist, done, prod, key = carry
+        return emitted, pool, last, ctx, hist, done, prod, key
+
 
 class Scheduler:
     """Host-side continuous-batching orchestrator (the reference's missing
-    Scheduler::step())."""
+    Scheduler::step()).
 
-    def __init__(self, engine: PagedEngine, num_pages: Optional[int] = None):
+    One ``step()`` = one CHUNK of ``decode_steps`` mixed device steps: the
+    host plans the chunk (admissions, prefill-rider slices, lane wake
+    schedule), dispatches ONE jitted program, and drains once — there is no
+    per-token host round-trip (the weakness called out in round 1). Prefill
+    progress inside a chunk is deterministic, so lane activation is
+    precomputed data, not host control flow.
+    """
+
+    def __init__(
+        self,
+        engine: PagedEngine,
+        num_pages: Optional[int] = None,
+        decode_steps: int = 8,
+        max_stop_ids: int = 8,
+    ):
         self.engine = engine
+        self.decode_steps = decode_steps
+        self.max_stop_ids = max_stop_ids
         self.manager = PagedCacheManager(
             engine.pool.num_pages, engine.max_pages_per_seq
         )
@@ -177,13 +287,17 @@ class Scheduler:
         self._ids = itertools.count()
         b = engine.num_lanes
         h = engine.history_len
-        # host mirrors of lane state (numpy; shipped to device per step)
+        # host mirrors of lane state (numpy; shipped to device per chunk)
         self.last_tokens = np.zeros((b,), np.int32)
         self.context_lens = np.zeros((b,), np.int32)
         self.block_tables = np.full(
             (b, engine.max_pages_per_seq), -1, np.int32
         )
         self.histories = np.full((b, h), PAD_TOKEN, np.int32)
+        self.done = np.ones((b,), bool)
+        self.produced = np.zeros((b,), np.int32)
+        self.max_new = np.ones((b,), np.int32)
+        self.stop_ids = np.full((b, max_stop_ids), -1, np.int32)
         self.samp = {
             "temperature": np.ones((b,), np.float32),
             "top_p": np.ones((b,), np.float32),
@@ -220,16 +334,17 @@ class Scheduler:
             self.step()
         raise RuntimeError("scheduler did not drain")
 
-    # -- one scheduling step --------------------------------------------
+    # -- one scheduling step (= one device chunk) ------------------------
 
     def step(self) -> list[Sequence]:
-        """Admit -> prefill one chunk each -> batched decode. Returns
-        sequences that finished this step."""
-        finished: list[Sequence] = []
+        """Admit -> plan a chunk (prefill-rider slices + wake schedule) ->
+        dispatch ONE device program for ``decode_steps`` mixed steps ->
+        drain. Returns sequences that finished during the chunk."""
         self._admit()
-        self._prefill_step()
-        finished += self._decode_step()
-        return finished
+        plan = self._plan_chunk()
+        if plan is None:
+            return []
+        return self._dispatch_and_drain(plan)
 
     def _admit(self):
         while self.waiting and self.free_lanes:
@@ -256,6 +371,12 @@ class Scheduler:
             self.block_tables[lane, : len(table)] = table
             self.context_lens[lane] = 0
             self.histories[lane] = PAD_TOKEN
+            self.done[lane] = True  # frozen until its wake step
+            self.produced[lane] = 0
+            self.max_new[lane] = seq.max_new_tokens
+            self.stop_ids[lane] = -1
+            sids = list(seq.stop_token_ids)[: self.max_stop_ids]
+            self.stop_ids[lane, : len(sids)] = sids
             self.samp["temperature"][lane] = seq.temperature
             self.samp["top_p"][lane] = seq.top_p
             self.samp["min_p"][lane] = seq.min_p
@@ -264,132 +385,203 @@ class Scheduler:
             self.pen["presence"][lane] = seq.presence_penalty
             self.pen["frequency"][lane] = seq.frequency_penalty
 
-    def _prefill_step(self):
+    def _plan_chunk(self):
+        """Build the data plan for one chunk: prefill-rider slices (one lane
+        per step slice), wake schedule for lanes whose prefill completes,
+        and page pre-allocation. Returns None when there is nothing to run."""
         e = self.engine
+        n = self.decode_steps
+        cs = e.rider_width
+        b = e.num_lanes
+
+        pf_ids = np.full((n, cs), -1, np.int32)
+        pf_pos = np.full((n, cs), -1, np.int32)
+        pf_lane = np.zeros((n,), np.int32)
+        pf_ctx = np.zeros((n,), np.int32)
+        wake_step = np.full((b,), -1, np.int32)
+        wake_tokens = np.zeros((b,), np.int32)
+        wake_ctx = np.zeros((b,), np.int32)
+        wake_hist = self.histories.copy()
+
+        # cancelled lanes are finished host-side before planning
         for lane, seq in list(self.running.items()):
-            if seq.status != SeqStatus.PREFILLING:
-                continue
             if seq.cancelled:
                 self._finish(seq, "cancelled")
-                continue
-            plen = len(seq.prompt_ids)
-            chunk = min(e.prefill_chunk, plen - seq.prefill_pos)
-            c = _bucket_chunk(chunk, e.prefill_chunk)
-            ids = np.zeros((1, c), np.int32)
-            ids[0, :chunk] = seq.prompt_ids[
-                seq.prefill_pos : seq.prefill_pos + chunk
-            ]
-            positions = seq.prefill_pos + np.arange(c)[None, :]
-            positions[0, chunk:] = -1  # pad tokens: no KV write
-            new_len = seq.prefill_pos + chunk
-            logits, e.pool = e._prefill(
-                e.params,
-                e.pool,
-                jnp.asarray(ids),
-                jnp.asarray(positions.astype(np.int32)),
-                jnp.asarray(self.block_tables[lane : lane + 1]),
-                jnp.full((1,), new_len, jnp.int32),
-                jnp.asarray(chunk - 1, jnp.int32),
-            )
-            seq.prefill_pos = new_len
-            self.context_lens[lane] = new_len
-            if seq.prefill_pos >= plen:
-                # sample the first generated token from this chunk's logits
-                hist = np.full((1, e.history_len), PAD_TOKEN, np.int32)
-                tail = seq.prompt_ids[-e.history_len :]
-                hist[0, -len(tail) :] = tail
-                sampling = SamplingParams(
-                    temperature=jnp.asarray(self.samp["temperature"][lane : lane + 1]),
-                    top_p=jnp.asarray(self.samp["top_p"][lane : lane + 1]),
-                    min_p=jnp.asarray(self.samp["min_p"][lane : lane + 1]),
-                    top_k=jnp.asarray(self.samp["top_k"][lane : lane + 1]),
-                )
-                pen = (
-                    jnp.asarray(self.pen["repetition"][lane : lane + 1]),
-                    jnp.asarray(self.pen["presence"][lane : lane + 1]),
-                    jnp.asarray(self.pen["frequency"][lane : lane + 1]),
-                )
-                e.key, sub = jax.random.split(e.key)
-                tok = int(e._sample_first(
-                    logits, sampling, pen, jnp.asarray(hist), sub
-                ))
-                self.histories[lane] = np.roll(self.histories[lane], -1)
-                self.histories[lane, :-1] = hist[0, 1:]
-                self.histories[lane, -1] = tok
-                self._emit(seq, tok)
-                if seq.status == SeqStatus.PREFILLING:
-                    seq.status = SeqStatus.DECODING
-                    self.last_tokens[lane] = tok
-                    # the sampled token occupies the next slot
-                    self.context_lens[lane] = new_len + 1
-                    if not self.manager.extend_seq(seq.seq_id, new_len + 1):
-                        self._finish(seq, "error: out of pages")
-                    else:
-                        self._sync_table(lane, seq)
 
-    def _decode_step(self) -> list[Sequence]:
+        prefilling = [
+            (lane, s) for lane, s in sorted(self.running.items())
+            if s.status == SeqStatus.PREFILLING
+        ]
+        def wake(lane, seq, s):
+            # prompt body done: the final prompt token becomes the lane's
+            # first decode input at this very step (its KV for this step's
+            # rider slice is written before the decode attention reads)
+            wake_step[lane] = s
+            wake_tokens[lane] = seq.prompt_ids[-1]
+            wake_ctx[lane] = len(seq.prompt_ids) - 1
+            tail = seq.prompt_ids[-e.history_len :]
+            wake_hist[lane] = PAD_TOKEN
+            wake_hist[lane, -len(tail):] = tail
+            seq.status = SeqStatus.DECODING
+            self.produced[lane] = 0
+
+        qi = iter(prefilling)
+        cur = next(qi, None)
+        for s in range(n):
+            while cur is not None:
+                lane, seq = cur
+                plen1 = len(seq.prompt_ids) - 1
+                rem = plen1 - seq.prefill_pos
+                if rem <= 0:
+                    # nothing to prefill (single-token prompt): wake without
+                    # consuming this step's rider slice
+                    wake(lane, seq, s)
+                    cur = next(qi, None)
+                    continue
+                cnt = min(cs, rem)
+                sl = seq.prompt_ids[seq.prefill_pos : seq.prefill_pos + cnt]
+                pf_ids[s, :cnt] = sl
+                pf_pos[s, :cnt] = np.arange(
+                    seq.prefill_pos, seq.prefill_pos + cnt
+                )
+                pf_lane[s] = lane
+                seq.prefill_pos += cnt
+                pf_ctx[s] = seq.prefill_pos
+                self.context_lens[lane] = seq.prefill_pos
+                if seq.prefill_pos >= plen1:
+                    wake(lane, seq, s)
+                    cur = next(qi, None)
+                break  # this step's rider slice is used
+
+        decoding = [
+            lane for lane, s in self.running.items()
+            if s.status == SeqStatus.DECODING
+        ]
+        if not decoding and not prefilling:
+            return None
+
+        # page pre-allocation for every token this chunk can write
+        for lane in decoding:
+            seq = self.running[lane]
+            start = (
+                int(wake_ctx[lane]) if wake_step[lane] >= 0
+                else int(self.context_lens[lane])
+            )
+            steps = n - max(int(wake_step[lane]), 0)
+            if not self.manager.extend_seq(seq.seq_id, start + steps):
+                self._finish(seq, "error: out of pages")
+                wake_step[lane] = -1
+                continue
+            self._sync_table(lane, seq)
+        dead = set()
+        for lane, seq in prefilling:
+            if seq.status == SeqStatus.PREFILLING:
+                if not self.manager.extend_seq(seq.seq_id, seq.prefill_pos):
+                    self._finish(seq, "error: out of pages")
+                    dead.add(lane)
+                    continue
+                self._sync_table(lane, seq)
+        if dead:
+            # scrub rider slices owned by failed lanes: their pages are
+            # freed and must not be written this chunk
+            for s in range(n):
+                if int(pf_lane[s]) in dead:
+                    pf_ids[s] = -1
+                    pf_pos[s] = -1
+                    pf_lane[s] = 0
+                    pf_ctx[s] = 0
+
+        return dict(
+            pf_ids=pf_ids, pf_pos=pf_pos, pf_lane=pf_lane, pf_ctx=pf_ctx,
+            wake_step=wake_step, wake_tokens=wake_tokens, wake_ctx=wake_ctx,
+            wake_hist=wake_hist,
+        )
+
+    def _dispatch_and_drain(self, plan) -> list[Sequence]:
         e = self.engine
+        n = self.decode_steps
+        from pie_tpu.ops.sampling import sampler_kind_for
+
         lanes = [
             lane for lane, s in self.running.items()
             if s.status == SeqStatus.DECODING
         ]
-        if not lanes:
-            return []
-        active = np.zeros((e.num_lanes,), bool)
-        active[lanes] = True
+        if lanes:
+            skind = sampler_kind_for(
+                self.samp["temperature"][lanes], self.samp["top_p"][lanes],
+                self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+            )
+        else:
+            skind = "greedy"
         sampling = SamplingParams(
             temperature=jnp.asarray(self.samp["temperature"]),
             top_p=jnp.asarray(self.samp["top_p"]),
             min_p=jnp.asarray(self.samp["min_p"]),
             top_k=jnp.asarray(self.samp["top_k"]),
         )
-        from pie_tpu.ops.sampling import sampler_kind_for
-
-        skind = sampler_kind_for(
-            self.samp["temperature"][lanes], self.samp["top_p"][lanes],
-            self.samp["min_p"][lanes], self.samp["top_k"][lanes],
-        )
-        tokens, e.pool, e.key = e._decode(
+        (emitted, e.pool, last, ctx, hist, done, prod, e.key) = e._chunk(
             e.params,
             e.pool,
             jnp.asarray(self.last_tokens),
             jnp.asarray(self.context_lens),
             jnp.asarray(self.block_tables),
             jnp.asarray(self.histories),
+            jnp.asarray(self.done),
+            jnp.asarray(self.produced),
+            jnp.asarray(self.max_new),
+            jnp.asarray(self.stop_ids),
             sampling,
             jnp.asarray(self.pen["repetition"]),
             jnp.asarray(self.pen["presence"]),
             jnp.asarray(self.pen["frequency"]),
-            jnp.asarray(active),
+            jnp.asarray(plan["pf_ids"]),
+            jnp.asarray(plan["pf_pos"]),
+            jnp.asarray(plan["pf_lane"]),
+            jnp.asarray(plan["pf_ctx"]),
+            jnp.asarray(plan["wake_step"]),
+            jnp.asarray(plan["wake_tokens"]),
+            jnp.asarray(plan["wake_ctx"]),
+            jnp.asarray(plan["wake_hist"]),
             e.key,
+            num_steps=n,
             sampler_kind=skind,
         )
-        tokens = np.asarray(tokens)
-        finished = []
-        for lane in lanes:
+        emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
+        # np.array (not asarray): device->host views are read-only and the
+        # planner mutates these mirrors in place
+        self.last_tokens = np.array(last)
+        self.context_lens = np.array(ctx)
+        self.histories = np.array(hist)
+        self.done = np.array(done)
+        self.produced = np.array(prod)
+
+        finished: list[Sequence] = []
+        for lane in list(self.running.keys()):
             seq = self.running[lane]
-            tok = int(tokens[lane])
-            if seq.cancelled:
-                self._finish(seq, "cancelled")
-                finished.append(seq)
-                continue
-            self._emit(seq, tok)
-            self.histories[lane] = np.roll(self.histories[lane], -1)
-            self.histories[lane, -1] = tok
-            self.last_tokens[lane] = tok
             if seq.status != SeqStatus.DECODING:
-                finished.append(seq)  # _emit finished it (stop/length)
                 continue
-            self.context_lens[lane] += 1
-            if not self.manager.extend_seq(seq.seq_id, int(self.context_lens[lane])):
-                self._finish(seq, "error: out of pages")
-                finished.append(seq)
-                continue
-            self._sync_table(lane, seq)
+            for s in range(n):
+                if seq.cancelled:
+                    # cancellation (possibly raised by an on_token callback
+                    # during this very drain) drops the chunk's remaining
+                    # speculative tokens
+                    self._finish(seq, "cancelled")
+                    finished.append(seq)
+                    break
+                tok = int(emitted[s, lane])
+                if tok == PAD_TOKEN:
+                    continue
+                self._emit(seq, tok)
+                if seq.status != SeqStatus.DECODING:
+                    finished.append(seq)
+                    break
+            else:
+                if seq.cancelled:
+                    self._finish(seq, "cancelled")
+                    finished.append(seq)
         return finished
 
     # -- helpers --------------------------------------------------------
-
     def _sync_table(self, lane: int, seq: Sequence):
         table = self.manager.block_table(seq.seq_id)
         self.block_tables[lane, : len(table)] = table
@@ -418,6 +610,9 @@ class Scheduler:
             self.free_lanes.append(seq.lane)
             self.block_tables[seq.lane] = -1
             self.context_lens[seq.lane] = 0
+            # freeze the lane so the next chunk cannot keep generating into
+            # (now freed, possibly re-allocated) pages
+            self.done[seq.lane] = True
             seq.lane = -1
         self.manager.free_seq(seq.seq_id)
         if seq.on_finish:

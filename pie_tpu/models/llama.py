@@ -646,6 +646,189 @@ class LlamaModel:
         return logits.astype(jnp.float32), pool
 
 
+    # -- mixed prefill+decode forward (BatchDetails program) ---------------
+
+    def mixed_forward(
+        self,
+        params: dict,
+        pool,  # PagedKVPool
+        dec_tokens: jax.Array,  # [B] int32 decode-lane tokens
+        dec_positions: jax.Array,  # [B] write position per lane (-1 frozen)
+        dec_ctx: jax.Array,  # [B] context len incl. this token (>=1 safe)
+        block_tables: jax.Array,  # [B, maxP]
+        pf_ids: jax.Array,  # [Cs] prefill-rider tokens (-1 pad)
+        pf_positions: jax.Array,  # [Cs] their positions (-1 pad)
+        pf_lane: jax.Array,  # scalar int32 lane whose table the rider uses
+        pf_ctx: jax.Array,  # scalar int32 tokens in pool for rider lane
+        #                     AFTER this slice (mask bound for rider attn)
+        use_kernel: bool = True,
+    ):
+        """ONE device program for a mixed continuous-batching step: every
+        decode lane advances one token AND a chunk of prefill tokens rides
+        along, sharing a single stream of the quantized weights per layer.
+
+        This is the reference's BatchDetails co-design (include/engine/
+        batch_details.hpp:10-88: flat token_ids/positions spanning prefill
+        chunks + decode singles, per-seq context lens, consolidated block
+        table) realized TPU-first: the flat token axis has STATIC length
+        M = B + Cs, so one compiled program serves every batch composition —
+        frozen lanes and rider pads are position -1 (no KV write, masked
+        attention) instead of a shape change.
+
+        Matmuls/norms act on the flat [1, M, D] stream (one weight read
+        serves prefill AND decode); attention splits by role: lanes go
+        through the Pallas paged-decode kernel, the rider does masked dense
+        attention over its lane's gathered pages, skipped via lax.cond
+        when the rider is empty.
+
+        Returns (decode logits [B, V] f32, updated pool). Rider tokens never
+        touch the lm_head: the scheduler feeds each prompt's final token as
+        the waking lane's first decode token, so first-token sampling is
+        just a decode step.
+        """
+        from pie_tpu.cache import paged as paged_mod
+        from pie_tpu.ops.paged_attention import (
+            paged_attention_decode,
+            paged_attention_xla,
+        )
+
+        cfg = self.config
+        dh = cfg.resolved_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        b = dec_tokens.shape[0]
+        cs = pf_ids.shape[0]
+        m = b + cs
+        inv_freq = self.inv_freq
+        scale = dh**-0.5
+        eps = cfg.rms_norm_eps
+        quantized = pool.quantized
+
+        flat_ids = jnp.concatenate([dec_tokens, pf_ids])  # [M]
+        positions = jnp.concatenate([dec_positions, pf_positions])  # [M]
+        h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
+
+        # physical page + slot per flat token
+        page_idx = positions // paged_mod.PAGE_SIZE
+        slot = positions % paged_mod.PAGE_SIZE
+        maxp = block_tables.shape[1]
+        dec_phys = jnp.take_along_axis(
+            block_tables,
+            jnp.clip(page_idx[:b, None], 0, maxp - 1),
+            axis=1,
+        )[:, 0]
+        pf_table = jax.lax.dynamic_index_in_dim(
+            block_tables, pf_lane, 0, keepdims=False
+        )  # [maxP]
+        pf_phys = pf_table[jnp.clip(page_idx[b:], 0, maxp - 1)]
+        phys = jnp.concatenate([dec_phys, pf_phys])  # [M]
+        phys_safe = jnp.where(
+            (phys >= 0) & (positions >= 0), phys, pool.num_pages
+        )
+        safe_tables = jnp.maximum(block_tables, 0)
+        pf_any = jnp.any(pf_ids >= 0)
+
+        # rider attention mask vs its lane's page slots
+        pf_kv_pos = _paged_kv_positions(pf_table[None], pf_ctx[None])  # [1,S]
+        pf_mask = attention_mask(pf_positions[None], pf_kv_pos)  # [1, Cs, S]
+
+        lp = params["layers"]
+
+        def layer_fn(carry, i):
+            if quantized:
+                h, apk, apv, apks, apvs = carry
+            else:
+                h, apk, apv = carry
+            x = rms_norm(h, _dyn(lp["ln1"], i), eps)
+            q, k, v = self._attn_proj(lp, x, 1, m, layer=i)  # [1, M, H, dh]
+            q = apply_rope(q, positions[None], inv_freq)
+            k = apply_rope(k, positions[None], inv_freq)
+
+            if quantized:
+                kq, ks = quantize_kv(k[0])
+                vq, vs = quantize_kv(v[0])
+                apk = apk.at[i, phys_safe, :, slot].set(kq, mode="drop")
+                apv = apv.at[i, phys_safe, :, slot].set(vq, mode="drop")
+                apks = apks.at[i, phys_safe, :, slot].set(ks, mode="drop")
+                apvs = apvs.at[i, phys_safe, :, slot].set(vs, mode="drop")
+                pk, pv = _dyn(apk, i), _dyn(apv, i)
+                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
+            else:
+                pks = pvs = None
+                apk = apk.at[i, phys_safe, :, slot].set(
+                    k[0].astype(apk.dtype), mode="drop"
+                )
+                apv = apv.at[i, phys_safe, :, slot].set(
+                    v[0].astype(apv.dtype), mode="drop"
+                )
+                pk, pv = _dyn(apk, i), _dyn(apv, i)
+
+            # decode lanes: paged attention, one query per lane
+            q_dec = q[0, :b]  # [B, Hq, dh]
+            if use_kernel and jax.default_backend() == "tpu":
+                attn_dec = paged_attention_decode(
+                    q_dec, pk, pv,
+                    pks if quantized else jnp.zeros(
+                        pk.shape[:3] + (1,), jnp.float32),
+                    pvs if quantized else jnp.zeros(
+                        pk.shape[:3] + (1,), jnp.float32),
+                    safe_tables, dec_ctx, scale,
+                )
+            else:
+                attn_dec = paged_attention_xla(
+                    q_dec, pk, pv, safe_tables, dec_ctx, scale,
+                    pks if quantized else None,
+                    pvs if quantized else None,
+                )
+
+            # prefill rider: masked dense attention over its lane's pages
+            def rider_attn(_):
+                bt = jnp.maximum(pf_table, 0)[None]  # [1, maxP]
+                ck = pk[bt]  # [1, maxP, Hkv, PAGE, dh]
+                cv = pv[bt]
+                if quantized:
+                    ck = ck.astype(jnp.float32) * pks[bt]
+                    cv = cv.astype(jnp.float32) * pvs[bt]
+                ck = jnp.swapaxes(ck, 2, 3).reshape(1, -1, hkv, dh)
+                cv = jnp.swapaxes(cv, 2, 3).reshape(1, -1, hkv, dh)
+                q_pf = q[:, b:]  # [1, Cs, Hq, dh]
+                return sdpa(
+                    q_pf, ck.astype(q.dtype), cv.astype(q.dtype),
+                    pf_mask, scale,
+                )[0]  # [Cs, Hq, dh]
+
+            attn_pf = jax.lax.cond(
+                pf_any,
+                rider_attn,
+                lambda _: jnp.zeros((cs, hq, dh), q.dtype),
+                operand=None,
+            )
+
+            attn = jnp.concatenate([attn_dec, attn_pf])[None]  # [1, M, Hq, dh]
+            h2 = h + linear(attn.reshape(1, m, hq * dh), lp["wo"], layer=i)
+            x = rms_norm(h2, _dyn(lp["ln2"], i), eps)
+            h2 = h2 + self._mlp(lp, x, layer=i)
+            if quantized:
+                return (h2, apk, apv, apks, apvs), None
+            return (h2, apk, apv), None
+
+        idxs = jnp.arange(cfg.num_hidden_layers)
+        if quantized:
+            carry0 = (h, pool.k, pool.v, pool.k_scale, pool.v_scale)
+            carry, _ = jax.lax.scan(layer_fn, carry0, idxs)
+            h = carry[0]
+            pool = dataclasses.replace(
+                pool, k=carry[1], v=carry[2],
+                k_scale=carry[3], v_scale=carry[4],
+            )
+        else:
+            carry, _ = jax.lax.scan(layer_fn, (h, pool.k, pool.v), idxs)
+            h = carry[0]
+            pool = dataclasses.replace(pool, k=carry[1], v=carry[2])
+        h = rms_norm(h[:, :b], params["norm"], eps)  # lanes only
+        logits = self.unembed(params, h)  # [1, B, V]
+        return logits[0].astype(jnp.float32), pool
+
+
 def _paged_kv_positions(block_tables: jax.Array, context_lens: jax.Array):
     """kv slot positions [B, maxP*PAGE] for gathered paged KV: slot j of
     logical page i holds position i*PAGE + j when < context_len else -1."""
