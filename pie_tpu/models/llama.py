@@ -26,12 +26,11 @@ import numpy as np
 from pie_tpu.cache.kv_cache import (
     KVCache,
     QuantizedKVCache,
-    dequantize_kv,
     quantize_kv,
 )
 from pie_tpu.models.config import BaseConfig, _filter_kwargs
 from pie_tpu.models.registry import register_model
-from pie_tpu.ops.attention import attention_mask, sdpa
+from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
 from pie_tpu.ops.quant import QuantizedTensor, quantized_matmul
 from pie_tpu.ops.rope import RopeScalingConfig, apply_rope, make_inv_freq
 
@@ -431,8 +430,6 @@ class LlamaModel:
                 cks_all = cks_all.at[i, batch_idx, write_slots].set(ks)
                 cvq_all = cvq_all.at[i, batch_idx, write_slots].set(vq)
                 cvs_all = cvs_all.at[i, batch_idx, write_slots].set(vs)
-                ck = dequantize_kv(_dyn(ckq_all, i), _dyn(cks_all, i), q.dtype)
-                cv = dequantize_kv(_dyn(cvq_all, i), _dyn(cvs_all, i), q.dtype)
             elif cache.window is None:
                 # contiguous slots: per-sequence dynamic_update_slice
                 # lowers much better than a general scatter on TPU
@@ -463,6 +460,13 @@ class LlamaModel:
 
             if "noattn" in _abl:
                 attn = q
+            elif quantized:
+                # attend directly on the int8 cache: scales factor out of
+                # the dots, no dequantized copy is ever materialized
+                attn = sdpa_quantized(
+                    q, _dyn(ckq_all, i), _dyn(cks_all, i),
+                    _dyn(cvq_all, i), _dyn(cvs_all, i), mask, scale,
+                )
             else:
                 attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
             h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
@@ -608,18 +612,23 @@ class LlamaModel:
                     )[:, None]
             else:
                 bt_idx = safe_tables
-                ck = pk[bt_idx]  # [B, maxP, Hkv, PAGE, D]
-                cv = pv[bt_idx]
-                if quantized:
-                    ck = ck.astype(jnp.float32) * pks[bt_idx]
-                    cv = cv.astype(jnp.float32) * pvs[bt_idx]
-                ck = jnp.swapaxes(ck, 2, 3)  # [B, maxP, PAGE, Hkv, D]
-                cv = jnp.swapaxes(cv, 2, 3)
                 mp = bt_idx.shape[1]
                 s_tot = mp * paged_mod.PAGE_SIZE
-                ck = ck.reshape(b, s_tot, hkv, dh).astype(q.dtype)
-                cv = cv.reshape(b, s_tot, hkv, dh).astype(q.dtype)
-                attn = sdpa(q, ck, cv, mask, scale)
+
+                def flat(a, w):  # [B,maxP,Hkv,PAGE,w] -> [B,S,Hkv,w]
+                    return jnp.swapaxes(a, 2, 3).reshape(b, s_tot, hkv, w)
+
+                if quantized:
+                    # gathered pages stay int8; scales fold into the dots
+                    attn = sdpa_quantized(
+                        q, flat(pk[bt_idx], dh), flat(pks[bt_idx], 1),
+                        flat(pv[bt_idx], dh), flat(pvs[bt_idx], 1),
+                        mask, scale,
+                    )
+                else:
+                    ck = flat(pk[bt_idx], dh).astype(q.dtype)
+                    cv = flat(pv[bt_idx], dh).astype(q.dtype)
+                    attn = sdpa(q, ck, cv, mask, scale)
 
             h2 = h + linear(attn.reshape(b, t, hq * dh), lp["wo"], layer=i)
             x = rms_norm(h2, _dyn(lp["ln2"], i), eps)
@@ -783,16 +792,21 @@ class LlamaModel:
             # prefill rider: masked dense attention over its lane's pages
             def rider_attn(_):
                 bt = jnp.maximum(pf_table, 0)[None]  # [1, maxP]
-                ck = pk[bt]  # [1, maxP, Hkv, PAGE, dh]
-                cv = pv[bt]
-                if quantized:
-                    ck = ck.astype(jnp.float32) * pks[bt]
-                    cv = cv.astype(jnp.float32) * pvs[bt]
-                ck = jnp.swapaxes(ck, 2, 3).reshape(1, -1, hkv, dh)
-                cv = jnp.swapaxes(cv, 2, 3).reshape(1, -1, hkv, dh)
                 q_pf = q[:, b:]  # [1, Cs, Hq, dh]
+
+                def flat(a, w):
+                    return jnp.swapaxes(a, 2, 3).reshape(1, -1, hkv, w)
+
+                if quantized:
+                    # gathered pages stay int8; scales fold into the dots
+                    return sdpa_quantized(
+                        q_pf, flat(pk[bt], dh), flat(pks[bt], 1),
+                        flat(pv[bt], dh), flat(pvs[bt], 1),
+                        pf_mask, scale,
+                    )[0]
                 return sdpa(
-                    q_pf, ck.astype(q.dtype), cv.astype(q.dtype),
+                    q_pf, flat(pk[bt], dh).astype(q.dtype),
+                    flat(pv[bt], dh).astype(q.dtype),
                     pf_mask, scale,
                 )[0]  # [Cs, Hq, dh]
 

@@ -39,6 +39,45 @@ def attention_mask(
     return mask
 
 
+def sdpa_quantized(
+    q: jax.Array,
+    kq: jax.Array,  # [B, Skv, Hkv, D] int8
+    ks: jax.Array,  # [B, Skv, Hkv, 1] f32 per-(token, head) scales
+    vq: jax.Array,
+    vs: jax.Array,
+    mask: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    """GQA attention directly over int8-quantized KV (reference
+    models/base.py:56-89 quantized SDPA).
+
+    Never materializes a dequantized copy of the cache: the per-(token,
+    head) K scale factors out of the dot (scores = ks * (q . kq)) and the
+    V scale folds into the probabilities (out = (probs * vs) . vq), so the
+    only cache traffic is the int8 stream itself — int8 KV decode reads
+    ~2x less HBM than bf16 KV instead of 1.5x more (round-1 weakness:
+    dequantize_kv per layer step wrote a full bf16 cache copy).
+    """
+    b, tq, hq, d = q.shape
+    hkv = kq.shape[2]
+    rep = hq // hkv
+    qg = q.reshape(b, tq, hkv, rep, d).astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        "bthrd,bshd->bhrts", qg, kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * (scale * ks[..., 0].transpose(0, 2, 1))[:, :, None, None, :]
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, Hkv, rep, Tq, S]
+    pv = probs * vs[..., 0].transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bhrts,bshd->bthrd", pv.astype(jnp.bfloat16),
+        vq.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, tq, hq, d).astype(q.dtype)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

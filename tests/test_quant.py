@@ -148,3 +148,33 @@ def test_stacked_kernel_matches_per_layer():
             quant_matmul_stacked(x, i, stacked, interpret=True)
         )
         np.testing.assert_allclose(y_st, y_one, rtol=0, atol=1e-4)
+
+
+def test_sdpa_quantized_matches_dequantized_sdpa():
+    """sdpa_quantized (no dequantized-cache materialization) == sdpa over
+    the explicitly dequantized int8 KV, within bf16 dot tolerance."""
+    import jax.numpy as jnp
+
+    from pie_tpu.cache.kv_cache import dequantize_kv, quantize_kv
+    from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
+
+    b, s, hq, hkv, d, tq = 2, 24, 4, 2, 16, 3
+    key = jax.random.PRNGKey(0)
+    kk, kv_, kq_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq_, (b, tq, hq, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(kv_, (b, s, hkv, d), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    qpos = jnp.array([[10, 11, 12]] * b)
+    kvpos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    mask = attention_mask(qpos, kvpos)
+    scale = d**-0.5
+    out_q = sdpa_quantized(q, kq, ks, vq, vs, mask, scale)
+    out_ref = sdpa(
+        q, dequantize_kv(kq, ks, jnp.float32),
+        dequantize_kv(vq, vs, jnp.float32), mask, scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(out_ref), rtol=0, atol=0.03
+    )
