@@ -184,6 +184,8 @@ class EngineCore:
         bias_ids,
         bias_vals,
         allowed_mask=None,
+        inputs_embeds=None,  # [B, Tpad, D] — VLM prefill (image features
+        #                       already scattered over placeholder slots)
         return_logprobs: bool = False,
         sampler_kind: str = "auto",
     ):
@@ -191,7 +193,9 @@ class EngineCore:
         b, t = input_ids.shape
         positions = first_pos[:, None] + jnp.arange(t)[None, :]
         cache = state.cache.advance(first_pos, t)
-        logits, cache = self.model(params, input_ids, cache, positions)
+        logits, cache = self.model(
+            params, input_ids, cache, positions, inputs_embeds=inputs_embeds
+        )
         cache = cache.trim_to(first_pos + prompt_lens)
 
         # logits of the LAST real prompt token, per sequence

@@ -105,6 +105,18 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.decode_chunk = decode_chunk
         self.pipeline_chunks = pipeline_chunks
+        # VLM support: an image preprocessor when the model has a vision
+        # tower (charter config #4; reference vision/utils.py:45-94 feeding
+        # models/gemma/ensemble.py image scatter)
+        self.image_processor = None
+        if getattr(model, "vision", None) is not None:
+            from pie_tpu.vision.utils import SiglipImageProcessor
+
+            vcfg = getattr(model.config, "vision", None) or {}
+            self.image_processor = SiglipImageProcessor(
+                image_size=int(vcfg.get("image_size", 224))
+            )
+        self._embed_images_fn = None
         self.core = EngineCore(
             model,
             params,
@@ -164,14 +176,16 @@ class InferenceEngine:
         max_completion_tokens: int = 256,
         stop_token_ids: Sequence[int] = (),
         logprobs: bool = False,
+        pixel_values=None,
         **kwargs,
     ) -> Iterator[StreamedToken]:
         """Yield tokens one at a time; raises StopIteration with the
         GenerationResult as value (reference generate() semantics,
-        engine/inference_engine.py:175-226)."""
+        engine/inference_engine.py:175-226). ``pixel_values`` ([N, 3, H, W])
+        runs the vision tower and prefills from merged embeddings."""
         result = yield from self._run(
             list(prompt_ids), max_completion_tokens, list(stop_token_ids),
-            logprobs, kwargs,
+            logprobs, kwargs, pixel_values=pixel_values,
         )
         return result
 
@@ -181,11 +195,12 @@ class InferenceEngine:
         max_completion_tokens: int = 256,
         stop_token_ids: Sequence[int] = (),
         logprobs: bool = False,
+        pixel_values=None,
         **kwargs,
     ) -> GenerationResult:
         gen = self.generate_stream(
             prompt_ids, max_completion_tokens, stop_token_ids, logprobs,
-            **kwargs,
+            pixel_values=pixel_values, **kwargs,
         )
         while True:
             try:
@@ -195,16 +210,19 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
 
-    def _run(self, prompt_ids, max_tokens, stop_token_ids, logprobs, kw):
+    def _run(self, prompt_ids, max_tokens, stop_token_ids, logprobs, kw,
+             pixel_values=None):
         if not prompt_ids:
             raise InferenceError("empty prompt")
         plen = len(prompt_ids)
         if plen + max_tokens > self.core.max_seq_len:
             max_tokens = max(0, self.core.max_seq_len - plen)
         # prompt-cache prefix reuse: prefill only the un-cached suffix
-        # (reference PromptCache.reuse_cache, cache/prompt_cache.py:52-76)
+        # (reference PromptCache.reuse_cache, cache/prompt_cache.py:52-76).
+        # Image requests skip reuse: cached prefixes are keyed by token ids
+        # only, and placeholder ids do not identify the image content.
         first_pos = 0
-        if self.prompt_cache is not None:
+        if self.prompt_cache is not None and pixel_values is None:
             first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
         suffix = prompt_ids[first_pos:]
         slen = len(suffix)
@@ -224,6 +242,16 @@ class InferenceEngine:
             np.asarray(list(stop_token_ids) or [PAD_TOKEN], np.int32)
         )
 
+        inputs_embeds = None
+        if pixel_values is not None:
+            if not hasattr(self.model, "embed_with_images"):
+                raise InferenceError("model has no vision tower")
+            if self._embed_images_fn is None:
+                self._embed_images_fn = jax.jit(self.model.embed_with_images)
+            inputs_embeds = self._embed_images_fn(
+                self.params, jnp.asarray(ids), jnp.asarray(pixel_values)
+            )
+
         state, token, aux = self.core._prefill(
             self.params,
             self.state,
@@ -234,6 +262,7 @@ class InferenceEngine:
             penalties,
             bias_ids,
             bias_vals,
+            inputs_embeds=inputs_embeds,
             return_logprobs=logprobs,
             sampler_kind=skind,
         )
@@ -267,7 +296,7 @@ class InferenceEngine:
             yield emit(first)
         def _finalize(reason):
             self.state = state
-            if self.prompt_cache is not None:
+            if self.prompt_cache is not None and pixel_values is None:
                 self.prompt_cache.update(list(prompt_ids) + out_tokens)
             return self._result(
                 prompt_ids, out_tokens, out_logprobs, reason, logprobs
@@ -340,7 +369,7 @@ class InferenceEngine:
                 finish = "stop"
                 break
         self.state = state
-        if self.prompt_cache is not None:
+        if self.prompt_cache is not None and pixel_values is None:
             self.prompt_cache.update(list(prompt_ids) + out_tokens)
         return self._result(prompt_ids, out_tokens, out_logprobs, finish, logprobs)
 
@@ -476,8 +505,33 @@ def _chat_run(
     tok = engine.tokenizer
     if tok is None:
         raise InferenceError("chat API requires a tokenizer")
+
+    # VLM: gather image attachments in message order, preprocess, and expand
+    # each into a placeholder-token run the prefill scatters features over
+    # (reference models/gemma/ensemble.py:108-157 + vision/utils.py:45-94)
+    image_sources: list = []
+    for it in interactions:
+        if isinstance(it, dict):
+            image_sources.extend(it.get("images") or [])
+        else:
+            image_sources.extend(it.images)
+    pixel_values = None
+    image_token_id = None
+    if image_sources:
+        if engine.image_processor is None:
+            raise InferenceError("model does not accept image input")
+        cfg = engine.model.config
+        image_token_id = getattr(cfg, "image_token_id", None)
+        if image_token_id is None:
+            raise InferenceError("model config has no image_token_id")
+        pixel_values = engine.image_processor.batch(image_sources)
+
     prompt_ids = tok.apply_chat_template(
-        interactions, add_generation_prompt=True, tools=tools
+        interactions, add_generation_prompt=True, tools=tools,
+        image_token_id=image_token_id,
+        tokens_per_image=getattr(
+            engine.model.config, "mm_tokens_per_image", 0
+        ),
     )
 
     # structured generation: constrained decoding when the request pins the
@@ -532,6 +586,7 @@ def _chat_run(
         max_completion_tokens=max_completion_tokens,
         stop_token_ids=tok.stop_tokens,
         logprobs=logprobs,
+        pixel_values=pixel_values,
         **sampling_kwargs,
     )
     result = None

@@ -94,7 +94,11 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         tools = None
         tool_choice = "auto"
     interactions = [
-        {"role": "user" if m.role == "developer" else m.role, "text": m.text()}
+        {
+            "role": "user" if m.role == "developer" else m.role,
+            "text": m.text(),
+            "images": m.images(),
+        }
         for m in req.messages
     ]
     response_format = (

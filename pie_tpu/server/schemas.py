@@ -98,6 +98,21 @@ class ChatMessage(BaseModel):
             )
         return ""
 
+    def images(self) -> list[str]:
+        """Image sources from ``image_url`` content parts (OpenAI vision
+        wire shape: {"type": "image_url", "image_url": {"url": ...}})."""
+        if not isinstance(self.content, list):
+            return []
+        out = []
+        for p in self.content:
+            if p.get("type") != "image_url":
+                continue
+            u = p.get("image_url")
+            url = u.get("url") if isinstance(u, dict) else u
+            if url:
+                out.append(url)
+        return out
+
 
 class StreamOptions(BaseModel):
     include_usage: bool = False

@@ -23,6 +23,7 @@ class ControlTokens:
     assistant_role: str = "assistant"
     tool_role: str = "tool"
     supports_system: bool = True
+    image_token: Optional[str] = None  # placeholder expanded by the engine
 
     def role_header(self, role: str) -> str:
         return f"{self.role_start}{role}{self.role_end}"
@@ -64,6 +65,7 @@ CHATML = ControlTokens(
     end_of_turn="<|im_end|>",
     role_start="<|im_start|>",
     role_end="\n",
+    image_token="<|image_pad|>",
 )
 
 GEMMA = ControlTokens(
@@ -75,6 +77,7 @@ GEMMA = ControlTokens(
     role_end="\n",
     assistant_role="model",
     supports_system=False,
+    image_token="<image_soft_token>",
 )
 
 _FAMILIES = {"llama3": LLAMA3, "chatml": CHATML, "gemma": GEMMA}

@@ -55,23 +55,53 @@ class Tokenizer:
 
     # -- chat ----------------------------------------------------------
 
+    #: sentinel marking an image slot in rendered chat text; never part of
+    #: any real vocabulary, replaced by image-token runs after rendering
+    IMAGE_SENTINEL = "\x00<pie:image>\x00"
+
     def apply_chat_template(
         self,
         interactions: Sequence[Interaction | dict],
         add_generation_prompt: bool = True,
         tools: Optional[list[dict]] = None,
         add_bos: bool = True,
+        image_token_id: Optional[int] = None,
+        tokens_per_image: int = 0,
     ) -> list[int]:
+        """Render + encode a conversation. When ``image_token_id`` is given,
+        each image attached to a message (Interaction image content, or dict
+        key "num_images") becomes ``tokens_per_image`` copies of that id
+        preceding the message text — the placeholder run that
+        ``embed_with_images`` scatters vision features over (reference
+        models/gemma/ensemble.py:108-157 image-token merge)."""
         msgs = []
         for it in interactions:
             if isinstance(it, Interaction):
-                msgs.append({"role": it.role.value, "text": it.text})
+                role, text = it.role.value, it.text
+                n_img = len(it.images)
             else:
-                msgs.append({"role": it["role"], "text": it.get("text", it.get("content", ""))})
+                role = it["role"]
+                text = it.get("text", it.get("content", ""))
+                n_img = int(
+                    it.get("num_images", len(it.get("images") or []))
+                )
+            if n_img and image_token_id is not None:
+                text = self.IMAGE_SENTINEL * n_img + text
+            msgs.append({"role": role, "text": text})
         text = render_chat(
             msgs, self.control_tokens, add_generation_prompt, tools
         )
-        return self.encode(text, add_bos=add_bos)
+        if image_token_id is None or self.IMAGE_SENTINEL not in text:
+            return self.encode(text, add_bos=add_bos)
+        ids: list[int] = []
+        for i, piece in enumerate(text.split(self.IMAGE_SENTINEL)):
+            if i:
+                ids.extend([image_token_id] * tokens_per_image)
+            if piece:
+                ids.extend(self.encode(piece, add_bos=(add_bos and i == 0)))
+            elif i == 0 and add_bos and self._bos_id is not None:
+                ids.append(self._bos_id)
+        return ids
 
     # -- stop / control tokens -----------------------------------------
 
