@@ -47,12 +47,12 @@ def bench_op(fn, x, *consts, iters=100, reps=3):
     def loop(x, *consts):
         def body(c, _):
             y = fn(c, *consts)
-            # feed a cheap function of the output back in to keep the loop
-            # serial without changing the op's shape; the factor must be
-            # non-zero or XLA dead-code-eliminates the op entirely
-            c2 = c * 0.999 + y[:1, :1].astype(c.dtype) * jnp.asarray(
-                1e-8, c.dtype
-            )
+            # feed a reduction of the FULL output back in: keeps the loop
+            # serial AND forces every output element to be computed — a
+            # single-element feedback (y[:1,:1]) lets XLA slice-sink through
+            # the dot and compute one column, inflating GB/s ~N-fold
+            fb = y.sum(-1, keepdims=True).astype(c.dtype)
+            c2 = c * 0.999 + fb * jnp.asarray(1e-8, c.dtype)
             return c2, ()
         c, _ = jax.lax.scan(body, x, None, length=iters)
         return c
@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--group", type=int, default=64)
     ap.add_argument("--m", type=int, default=1, help="batch rows (decode=1)")
+    ap.add_argument("--matmul-only", action="store_true")
+    ap.add_argument("--e2e-only", action="store_true")
     args = ap.parse_args()
 
     from pie_tpu.ops.quant import quantize
@@ -100,6 +102,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     m = args.m
+    if args.e2e_only:
+        shapes = {}
     total_layer_bytes = 0
     total_layer_ms = 0.0
     print(f"model={args.model} bits={args.bits} g={args.group} M={m}")
@@ -123,11 +127,14 @@ def main():
             f" {gbs:>7.1f} {frac:>6.3f}"
         )
 
-    ideal_ms = total_layer_bytes / HBM_GBPS / 1e6
-    print(
-        f"\nmatmul total/token: {total_layer_ms:.3f} ms"
-        f" (ideal {ideal_ms:.3f} ms, {total_layer_bytes/1e6:.0f} MB)"
-    )
+    if shapes:
+        ideal_ms = total_layer_bytes / HBM_GBPS / 1e6
+        print(
+            f"\nmatmul total/token: {total_layer_ms:.3f} ms"
+            f" (ideal {ideal_ms:.3f} ms, {total_layer_bytes/1e6:.0f} MB)"
+        )
+    if args.matmul_only:
+        return
 
     # ---- full decode step -------------------------------------------------
     from pie_tpu.models.llama import LlamaConfig, LlamaModel
