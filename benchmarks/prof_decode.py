@@ -36,7 +36,16 @@ def bench(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_op(fn, x, *consts, iters=100, reps=3):
+def _sync(r):
+    """Force completion by FETCHING a value. block_until_ready does NOT
+    synchronize over the axon dispatch tunnel — timings bracketed by it can
+    read 30 TB/s; only a host transfer of the result is a real barrier."""
+    import numpy as np
+
+    return float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+
+
+def bench_op(fn, x, *consts, iters=50, reps=3):
     """Time ``fn(x, *consts)`` amortized inside one jitted scan (the device
     is behind a dispatch tunnel; per-call host timing is dominated by
     round-trips). ``consts`` MUST be jit arguments — closing over device
@@ -47,21 +56,20 @@ def bench_op(fn, x, *consts, iters=100, reps=3):
     def loop(x, *consts):
         def body(c, _):
             y = fn(c, *consts)
-            # feed a reduction of the FULL output back in: keeps the loop
-            # serial AND forces every output element to be computed — a
-            # single-element feedback (y[:1,:1]) lets XLA slice-sink through
-            # the dot and compute one column, inflating GB/s ~N-fold
-            fb = y.sum(-1, keepdims=True).astype(c.dtype)
+            # nonlinear reduction of the FULL output as feedback: keeps the
+            # loop serial and blocks slice-sinking / sum-through-dot
+            # rewrites that would let XLA compute one output column
+            fb = (y * y).sum(-1, keepdims=True).astype(c.dtype)
             c2 = c * 0.999 + fb * jnp.asarray(1e-8, c.dtype)
             return c2, ()
         c, _ = jax.lax.scan(body, x, None, length=iters)
         return c
 
-    loop(x, *consts).block_until_ready()
+    _sync(loop(x, *consts))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        loop(x, *consts).block_until_ready()
+        _sync(loop(x, *consts))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

@@ -386,75 +386,208 @@ class InferenceEngine:
             self._token_masker = TokenMasker(self.tokenizer)
         return self._token_masker
 
+    EXTEND_BUCKETS = (8, 16, 32, 64, 128, 256)
+
     def generate_constrained(
         self,
         prompt_ids,
         machine,
         max_completion_tokens: int = 1024,
         stop_token_ids=(),
+        logprobs: bool = False,
         **kwargs,
     ):
-        """Token-by-token generation under a character-machine constraint
-        (PSE-equivalent loop: mask logits -> sample -> advance automaton;
-        reference engine/inference_engine.py:241-271 process_logits/sample
-        interplay). Returns (GenerationResult, text)."""
+        """Generation under a character-machine constraint (PSE-equivalent
+        mask -> sample -> advance loop, reference engine/inference_engine.py:
+        241-271), restructured to kill the per-token host lockstep called
+        out in round 1:
+
+        - **forced-token fast path**: when the mask admits exactly ONE token
+          (structural JSON runs: braces, quoted keys, ...), the token is
+          emitted host-side with NO device work; consecutive forced tokens
+          batch into one multi-token extend (the reference's
+          multi_token_sampling=True, engine/inference_engine.py:40).
+        - **one device program per choice point**: the bucketed ``_prefill``
+          writes KV for the pending run AND samples under the choice mask in
+          a single dispatch (the mask is built before dispatch, so host mask
+          work never serializes against a running device step).
+        - **unconstrained shortcut**: while a freeform sub-state admits any
+          character (ANY_CHAR), the step samples without a mask.
+        - honors ``stop_token_ids`` and ``logprobs`` (forced tokens report
+          logprob 0.0 — probability 1 under the constraint).
+
+        Returns (GenerationResult, text).
+        """
         import numpy as np
+
+        from pie_tpu.structured.token_masks import ANY_CHAR
 
         masker = self.token_masker
         machine = machine.copy()
         v = self.model.config.vocab_size
         plen = len(prompt_ids)
-        bucket = _bucket(plen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = prompt_ids
         sampling = self._sampling(kwargs)
         penalties = self._penalties(kwargs)
         bias_ids, bias_vals = self._bias(kwargs)
-        stop = jnp.asarray(
-            np.asarray(list(stop_token_ids) or [PAD_TOKEN], np.int32)
+        stop_set = set(stop_token_ids)
+        from pie_tpu.ops.sampling import sampler_kind_for
+
+        skind = sampler_kind_for(
+            sampling.temperature, sampling.top_p, sampling.min_p,
+            sampling.top_k,
         )
 
-        def device_mask():
+        def build_mask():
+            """np mask for the current machine state, or None while an
+            unconstrained (freeform) sub-state accepts any token. ANY_CHAR
+            alone is not enough — a JSON FreeString allows any character
+            but still rejects undecodable / control tokens."""
+            if getattr(machine, "is_unconstrained", lambda: False)():
+                return None
             m = masker.build_mask(machine)
-            full = np.zeros((1, v), bool)
-            full[0, : m.shape[0]] = m
-            return jnp.asarray(full)
+            full = np.zeros((v,), bool)
+            full[: m.shape[0]] = m
+            return full
 
-        state, token, _ = self.core._prefill(
+        def device_mask(m):
+            return None if m is None else jnp.asarray(m[None])
+
+        out_tokens: list[int] = []
+        out_logprobs: list[TokenLogprob] = []
+        finish = "length"
+
+        def extend(pending_ids, first_pos, mask):
+            """One bucketed device program: write KV for ``pending_ids`` and
+            sample the next token under ``mask``."""
+            n = len(pending_ids)
+            bucket = _bucket(n, self.EXTEND_BUCKETS)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n] = pending_ids
+            state, token, aux = self.core._prefill(
+                self.params, self.state, jnp.asarray(ids),
+                jnp.full((1,), n, jnp.int32),
+                jnp.full((1,), first_pos, jnp.int32),
+                sampling, penalties, bias_ids, bias_vals,
+                allowed_mask=device_mask(mask),
+                return_logprobs=logprobs, sampler_kind=skind,
+            )
+            self.state = state
+            return int(token[0]), aux
+
+        def emit_sampled(tok, aux):
+            if logprobs and aux is not None:
+                chosen, tv, ti = aux
+                out_logprobs.append(TokenLogprob(
+                    tok, float(chosen[0]),
+                    list(zip(
+                        np.asarray(ti[0]).tolist(),
+                        np.asarray(tv[0], np.float64).tolist(),
+                    )),
+                ))
+            out_tokens.append(tok)
+
+        # prompt prefill is the first "extend" (choice point at its end)
+        plen_cap = self.core.max_seq_len - 1
+        if plen > plen_cap:
+            raise InferenceError("prompt exceeds engine max_seq_len")
+        mask = build_mask()
+        bucket = _bucket(
+            plen,
+            [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len]
+            or [self.core.max_seq_len],
+        )
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = prompt_ids
+        state, token, aux = self.core._prefill(
             self.params, self.state, jnp.asarray(ids),
             jnp.full((1,), plen, jnp.int32), jnp.zeros((1,), jnp.int32),
             sampling, penalties, bias_ids, bias_vals,
-            allowed_mask=device_mask(),
+            allowed_mask=device_mask(mask),
+            return_logprobs=logprobs, sampler_kind=skind,
         )
-        out_tokens = []
-        finish = "length"
+        self.state = state
         tok = int(token[0])
-        for _ in range(max_completion_tokens):
+        cur_len = plen  # tokens whose KV is in the cache
+
+        while True:
+            if tok in stop_set:
+                finish = "stop"
+                break
             tstr = masker.token_strs[tok] if tok < masker.vocab_size else None
+            unconstrained = getattr(
+                machine, "is_unconstrained", lambda: False
+            )()
+            if tstr is None and unconstrained:
+                # undecodable (partial-UTF8) token during a freeform phase:
+                # emit it without advancing the character machine
+                emit_sampled(tok, aux)
+                if len(out_tokens) >= max_completion_tokens:
+                    break
+                if cur_len + 1 >= self.core.max_seq_len:
+                    break
+                tok, aux = extend([tok], cur_len, build_mask())
+                cur_len += 1
+                continue
             if tstr is None or not machine.advance(tstr):
+                logger.warning(
+                    "constrained decoding: token %d (%r) rejected by the "
+                    "machine", tok, tstr,
+                )
                 finish = "error: constrained decoding produced invalid token"
                 break
-            out_tokens.append(tok)
+            emit_sampled(tok, aux)
             if machine.is_complete:
                 finish = "stop"
                 break
             if len(out_tokens) >= max_completion_tokens:
                 break
-            state, outs = self.core._decode(
-                self.params, state, sampling, penalties, bias_ids, bias_vals,
-                stop, allowed_mask=device_mask(), num_steps=1,
-            )
-            tok = int(np.asarray(outs[0])[0, 0])
-        self.state = state
+            if cur_len + 1 >= self.core.max_seq_len:
+                break
+
+            # forced fast path: batch every uniquely-determined token
+            pending = [tok]
+            mask = build_mask()
+            while (
+                mask is not None
+                and len(out_tokens) < max_completion_tokens
+                and cur_len + len(pending) < self.core.max_seq_len
+            ):
+                cands = np.flatnonzero(mask)
+                if len(cands) != 1:
+                    break
+                forced = int(cands[0])
+                if not machine.advance(masker.token_strs[forced]):
+                    break  # defensive; build_mask guarantees acceptance
+                out_tokens.append(forced)
+                if logprobs:
+                    out_logprobs.append(TokenLogprob(forced, 0.0, []))
+                pending.append(forced)
+                if machine.is_complete:
+                    finish = "stop"
+                    break
+                mask = build_mask()
+            if finish == "stop":
+                break
+            if len(out_tokens) >= max_completion_tokens:
+                finish = "length"
+                break
+            if cur_len + len(pending) >= self.core.max_seq_len:
+                finish = "length"
+                break
+
+            tok, aux = extend(pending, cur_len, mask)
+            cur_len += len(pending)
+
         text = "".join(
             masker.token_strs[t] for t in out_tokens
-            if masker.token_strs[t] is not None
+            if t < masker.vocab_size and masker.token_strs[t] is not None
         )
         result = GenerationResult(
             token_ids=out_tokens,
             finish_reason=finish,
             prompt_tokens=plen,
             completion_tokens=len(out_tokens),
+            logprobs=out_logprobs if logprobs else None,
         )
         return result, text
 

@@ -47,6 +47,9 @@ class RootStateMachine:
         self.control_tokens = control_tokens
         self.state: Optional[StructuredState] = None
 
+    #: think-tag pair used when a request asks for a reasoning state
+    REASONING_TAGS = ("<think>", "</think>")
+
     def configure(
         self,
         response_format: Optional[dict] = None,
@@ -54,7 +57,13 @@ class RootStateMachine:
         tool_choice: Any = "auto",
         parallel_tool_calls: bool = False,
         stop: Sequence[str] = (),
+        reasoning: bool = False,
     ) -> StructuredState:
+        """Build the active constrained state. ``reasoning=True`` prepends a
+        <think>...</think> state ahead of whatever output state the rest of
+        the parameters select (reference ReasoningState composed into the
+        root graph, state_machine/sub_states/__init__.py:1-13 +
+        root.py:66-125)."""
         stop = tuple(stop or ())
         fmt_type = (response_format or {}).get("type", "text")
 
@@ -95,14 +104,43 @@ class RootStateMachine:
             )
         else:
             self.state = StructuredState(name="text", stop_sequences=stop)
+        if reasoning:
+            from pie_tpu.structured.machines import reasoning_machine
+
+            open_tag, close_tag = self.REASONING_TAGS
+            self.state = StructuredState(
+                name=f"reasoning+{self.state.name}",
+                machine=reasoning_machine(
+                    self.state.machine, open_tag, close_tag,
+                    stop=self.state.stop_sequences
+                    or (self._end_of_turn(),),
+                ),
+                generation_kwargs=self.state.generation_kwargs,
+                stop_sequences=self.state.stop_sequences,
+            )
         return self.state
+
+    def _end_of_turn(self) -> str:
+        if self.control_tokens is not None:
+            return self.control_tokens.end_of_turn
+        return "</s>"
 
     # -- output labeling (reference get_labeled_output) ------------------
 
     @staticmethod
     def labeled_output(state: StructuredState, text: str):
         """Parse the raw generated text according to the state; returns
-        (label, value)."""
+        (label, value). Reasoning states strip the <think> block before
+        labeling the remainder (reference get_labeled_output semantics)."""
+        if state.name.startswith("reasoning+"):
+            open_tag, close_tag = RootStateMachine.REASONING_TAGS
+            i = text.find(close_tag)
+            if i != -1:
+                text = text[i + len(close_tag):]
+            inner = dataclasses.replace(
+                state, name=state.name.split("+", 1)[1]
+            )
+            return RootStateMachine.labeled_output(inner, text)
         if state.machine is None:
             return "text", text
         try:

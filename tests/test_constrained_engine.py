@@ -135,3 +135,94 @@ def test_forced_tool_call(engine):
     calls = inter.tool_calls
     assert calls and calls[0]["name"] == "get_weather"
     assert "city" in calls[0]["arguments"]
+
+
+def test_constrained_forced_fast_path(engine):
+    """Uniquely-determined tokens are emitted with NO device program: a
+    schema whose output is fully forced ends with fewer prefill/decode
+    dispatches than tokens (reference multi_token_sampling fast path,
+    engine/inference_engine.py:40)."""
+    from pie_tpu.structured.json_machine import JsonMachine
+
+    # every token is forced: single-key object with a fixed enum value
+    schema = {
+        "type": "object",
+        "properties": {"name": {"enum": ["alpha"]}},
+        "required": ["name"],
+        "additionalProperties": False,
+    }
+    calls = {"n": 0}
+    orig = engine.core._prefill
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    engine.core._prefill = counting
+    try:
+        result, text = engine.generate_constrained(
+            [1, 2, 3], JsonMachine(schema), max_completion_tokens=64,
+            temperature=0.0,
+        )
+    finally:
+        engine.core._prefill = orig
+    assert json.loads(text) == {"name": "alpha"}
+    assert result.finish_reason == "stop"
+    # prompt prefill + at most a couple of choice-point extends; far fewer
+    # device calls than emitted tokens
+    assert calls["n"] < result.completion_tokens
+
+
+def test_constrained_logprobs_and_stop(engine):
+    from pie_tpu.structured.json_machine import JsonMachine
+
+    schema = {
+        "type": "object",
+        "properties": {"name": {"enum": ["alpha", "beta"]}},
+        "required": ["name"],
+        "additionalProperties": False,
+    }
+    result, text = engine.generate_constrained(
+        [1, 2, 3], JsonMachine(schema), max_completion_tokens=64,
+        temperature=0.0, logprobs=True,
+    )
+    assert result.finish_reason == "stop"
+    assert result.logprobs is not None
+    assert len(result.logprobs) == result.completion_tokens
+    # forced tokens report logprob 0.0; sampled ones carry top-k entries
+    assert any(lp.logprob == 0.0 and lp.top == [] for lp in result.logprobs)
+    assert all(lp.logprob <= 0.0 for lp in result.logprobs)
+
+    # stop_token_ids end generation even mid-machine
+    eot = engine.tokenizer.stop_tokens[0]
+    bias = {eot: 50.0}
+    result2, _ = engine.generate_constrained(
+        [1, 2, 3], JsonMachine(schema), max_completion_tokens=64,
+        temperature=0.0, stop_token_ids=[eot], logit_bias=bias,
+    )
+    assert result2.finish_reason in ("stop", "length",
+                                     "error: constrained decoding produced invalid token")
+
+
+def test_reasoning_chat_state(engine):
+    """chat with reasoning=True produces <think>...</think> followed by the
+    structured output, and labeled_output strips the think block."""
+    from pie_tpu.structured import RootStateMachine
+
+    root = RootStateMachine(engine.tokenizer.control_tokens)
+    st = root.configure(
+        response_format={"type": "json_schema", "json_schema": {"schema": {
+            "type": "object",
+            "properties": {"name": {"enum": ["alpha"]}},
+            "required": ["name"], "additionalProperties": False,
+        }}},
+        reasoning=True,
+    )
+    result, text = engine.generate_constrained(
+        [1, 2, 3], st.machine, max_completion_tokens=200, temperature=0.0,
+    )
+    assert text.startswith("<think>")
+    if result.finish_reason == "stop":
+        label, value = RootStateMachine.labeled_output(st, text)
+        assert label == "json"
+        assert value == {"name": "alpha"}
