@@ -29,17 +29,42 @@ from pie_tpu.runtime import PageAllocator, TOKENS_PER_PAGE
 PAGE_SIZE = TOKENS_PER_PAGE
 
 
+def fold_for(head_dim: int) -> int:
+    """Tokens packed per 128-lane pool row ("fold"): Mosaic requires DMA'd
+    page blocks to have 128-aligned minor dims, so for head_dim < 128 the
+    attention kernel views each page as [Hkv*(PAGE/f), f*head_dim] with
+    f = 128//head_dim tokens per row (free bitcast of the natural layout).
+    Falls back to 1 (XLA attention path) when head_dim doesn't divide 128."""
+    if head_dim < 128 and 128 % head_dim == 0 and PAGE_SIZE % (
+        128 // head_dim
+    ) == 0:
+        return 128 // head_dim
+    return 1
+
+
+def unpermute_page_scales(s: jax.Array) -> jax.Array:
+    """Phase-major pool scales [..., f, Hkv, PAGE//f] -> natural
+    [..., Hkv, PAGE, 1] (token t of head h lives at [t % f, h, t // f])."""
+    f, hkv, rows = s.shape[-3:]
+    lead = s.shape[:-3]
+    s = jnp.moveaxis(s, -3, -1)  # [..., Hkv, rows, f]
+    return s.reshape(*lead, hkv, rows * f, 1)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("k", "v", "k_scale", "v_scale"),
-    meta_fields=("quantized",),
+    meta_fields=("quantized", "fold"),
 )
 @dataclasses.dataclass(frozen=True)
 class PagedKVPool:
     """Device-side page pool.
 
     k, v: [L, P, Hkv, PAGE_SIZE, Dh] (bf16, or int8 when quantized)
-    k_scale, v_scale: [L, P, Hkv, PAGE_SIZE, 1] f32 (zeros when not quantized)
+    k_scale, v_scale: [L, P, fold, Hkv, PAGE_SIZE//fold] f32 (zeros when not
+    quantized) — phase-major so the attention kernel's flat [P, 1, Hkv*PAGE]
+    scale view lines up with its score-column order (ops/paged_attention.py);
+    token t of head h lives at [t % fold, h, t // fold].
     """
 
     k: jax.Array
@@ -47,6 +72,7 @@ class PagedKVPool:
     k_scale: jax.Array
     v_scale: jax.Array
     quantized: bool = False
+    fold: int = 1
 
     @classmethod
     def create(
@@ -58,8 +84,11 @@ class PagedKVPool:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKVPool":
+        fold = fold_for(head_dim)
         shape = (num_layers, num_pages, num_kv_heads, PAGE_SIZE, head_dim)
-        sshape = (num_layers, num_pages, num_kv_heads, PAGE_SIZE, 1)
+        sshape = (
+            num_layers, num_pages, fold, num_kv_heads, PAGE_SIZE // fold,
+        )
         store_dtype = jnp.int8 if quantized else dtype
         sdt = jnp.float32
         return cls(
@@ -68,6 +97,7 @@ class PagedKVPool:
             k_scale=jnp.zeros(sshape, sdt),
             v_scale=jnp.zeros(sshape, sdt),
             quantized=quantized,
+            fold=fold,
         )
 
     @property
@@ -183,16 +213,17 @@ def write_tokens(
 
         kq, ks = quantize_kv(layer_k)
         vq, vs = quantize_kv(layer_v)
+        f = pool.fold
         return dataclasses.replace(
             pool,
             k=scat(pool.k, kq),
             v=scat(pool.v, vq),
-            k_scale=pool.k_scale.at[layer_idx, phys_safe, :, slot].set(
-                ks, mode="drop"
-            ),
-            v_scale=pool.v_scale.at[layer_idx, phys_safe, :, slot].set(
-                vs, mode="drop"
-            ),
+            k_scale=pool.k_scale.at[
+                layer_idx, phys_safe, slot % f, :, slot // f
+            ].set(ks[..., 0], mode="drop"),
+            v_scale=pool.v_scale.at[
+                layer_idx, phys_safe, slot % f, :, slot // f
+            ].set(vs[..., 0], mode="drop"),
         )
     return dataclasses.replace(
         pool, k=scat(pool.k, layer_k), v=scat(pool.v, layer_v)
@@ -211,8 +242,8 @@ def gather_kv(
     k = pool.k[layer_idx][bt]  # [B, maxP, H, PAGE, D]
     v = pool.v[layer_idx][bt]
     if pool.quantized:
-        ks = pool.k_scale[layer_idx][bt]
-        vs = pool.v_scale[layer_idx][bt]
+        ks = unpermute_page_scales(pool.k_scale[layer_idx][bt])
+        vs = unpermute_page_scales(pool.v_scale[layer_idx][bt])
         k = k.astype(jnp.float32) * ks
         v = v.astype(jnp.float32) * vs
     k = jnp.swapaxes(k, 2, 3)  # [B, maxP, PAGE, H, D]

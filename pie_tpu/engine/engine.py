@@ -89,6 +89,7 @@ class InferenceEngine:
         prompt_cache: bool = True,
         prompt_cache_dir=None,
         pipeline_chunks: bool = True,
+        kv_quantize_threshold: Optional[int] = None,
     ):
         if model is None:
             if model_path is None:
@@ -132,6 +133,10 @@ class InferenceEngine:
         self.prompt_cache = (
             PromptCache(prompt_cache_dir) if prompt_cache else None
         )
+        # convert the contiguous KV cache to INT8 once a sequence crosses
+        # this many tokens (reference make_kv_cache maybe_quantize,
+        # cache/kv_cache/__init__.py:241-265); None disables
+        self.kv_quantize_threshold = kv_quantize_threshold
         self._empty_bias = (
             jnp.full((1, 0), PAD_TOKEN, jnp.int32),
             jnp.zeros((1, 0), jnp.float32),
@@ -208,6 +213,38 @@ class InferenceEngine:
             except StopIteration as e:
                 return e.value
 
+    def cache_prompt(self, prompt_ids: Sequence[int]):
+        """Prefill ``prompt_ids`` and persist the resulting KV to the
+        prompt-cache directory, so a later engine (or process) can restore
+        it without recomputation (reference InferenceEngine.cache_prompt ->
+        save_prompt_cache flow). Returns the saved path, or None when no
+        ``prompt_cache_dir`` is configured."""
+        if self.prompt_cache is None:
+            raise InferenceError("prompt cache disabled")
+        prompt_ids = list(prompt_ids)
+        plen = len(prompt_ids)
+        if plen > self.core.max_seq_len:
+            raise InferenceError("prompt exceeds engine max_seq_len")
+        first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
+        suffix = prompt_ids[first_pos:]
+        slen = len(suffix)
+        bucket = _bucket(
+            slen,
+            [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len]
+            or [self.core.max_seq_len],
+        )
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :slen] = suffix
+        state, _, _ = self.core._prefill(
+            self.params, self.state, jnp.asarray(ids),
+            jnp.full((1,), slen, jnp.int32),
+            jnp.full((1,), first_pos, jnp.int32),
+            self._sampling({}), self._penalties({}), *self._empty_bias,
+        )
+        self.state = state
+        self.prompt_cache.update(prompt_ids)
+        return self.prompt_cache.save_prompt(prompt_ids, state.cache)
+
     # ------------------------------------------------------------------
 
     def _run(self, prompt_ids, max_tokens, stop_token_ids, logprobs, kw,
@@ -221,9 +258,25 @@ class InferenceEngine:
         # (reference PromptCache.reuse_cache, cache/prompt_cache.py:52-76).
         # Image requests skip reuse: cached prefixes are keyed by token ids
         # only, and placeholder ids do not identify the image content.
+        if self.kv_quantize_threshold is not None:
+            from pie_tpu.cache.kv_cache import maybe_quantize
+
+            qc = maybe_quantize(self.state.cache, self.kv_quantize_threshold)
+            if qc is not self.state.cache:
+                self.state = dataclasses.replace(self.state, cache=qc)
         first_pos = 0
         if self.prompt_cache is not None and pixel_values is None:
             first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
+            if first_pos == 0 and self.prompt_cache.cache_dir:
+                # disk prompt cache: an exact previously-cached prompt
+                # restores its KV without recomputation (reference
+                # load_cached_prompt, cache/prompt_cache.py:78-125)
+                hit = self.prompt_cache.load_prompt(prompt_ids)
+                if hit is not None:
+                    cache, computed = hit
+                    self.state = dataclasses.replace(self.state, cache=cache)
+                    self.prompt_cache.update(computed)
+                    first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
         suffix = prompt_ids[first_pos:]
         slen = len(suffix)
         bucket = _bucket(slen, [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len] or [self.core.max_seq_len])
@@ -544,30 +597,43 @@ class InferenceEngine:
             if cur_len + 1 >= self.core.max_seq_len:
                 break
 
-            # forced fast path: batch every uniquely-determined token
+            # forced fast path: when the machine uniquely determines a run
+            # of characters (structural JSON: braces, quoted keys, enum
+            # bodies), emit its greedy tokenization host-side with NO device
+            # work; the run's KV rides along in the next extend.
             pending = [tok]
-            mask = build_mask()
-            while (
-                mask is not None
-                and len(out_tokens) < max_completion_tokens
-                and cur_len + len(pending) < self.core.max_seq_len
-            ):
-                cands = np.flatnonzero(mask)
-                if len(cands) != 1:
-                    break
-                forced = int(cands[0])
-                if not machine.advance(masker.token_strs[forced]):
-                    break  # defensive; build_mask guarantees acceptance
-                out_tokens.append(forced)
-                if logprobs:
-                    out_logprobs.append(TokenLogprob(forced, 0.0, []))
-                pending.append(forced)
-                if machine.is_complete:
-                    finish = "stop"
-                    break
-                mask = build_mask()
+            forced_chars: list[str] = []
+            if hasattr(machine, "allowed_chars"):
+                probe = machine.copy()
+                while len(forced_chars) < 4096:
+                    chars = probe.allowed_chars()
+                    if len(chars) != 1:
+                        break
+                    ch = next(iter(chars))
+                    if ch == ANY_CHAR or not probe.advance(ch):
+                        break
+                    forced_chars.append(ch)
+                    if probe.is_complete:
+                        break
+            if forced_chars:
+                budget = min(
+                    max_completion_tokens - len(out_tokens),
+                    self.core.max_seq_len - cur_len - len(pending),
+                )
+                for fid in masker.encode_longest(
+                    "".join(forced_chars)
+                )[:budget]:
+                    machine.advance(masker.token_strs[fid])
+                    out_tokens.append(fid)
+                    if logprobs:
+                        out_logprobs.append(TokenLogprob(fid, 0.0, []))
+                    pending.append(fid)
+                    if machine.is_complete:
+                        finish = "stop"
+                        break
             if finish == "stop":
                 break
+            mask = build_mask()
             if len(out_tokens) >= max_completion_tokens:
                 finish = "length"
                 break

@@ -541,6 +541,7 @@ class LlamaModel:
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         quantized = pool.quantized
+        fold = pool.fold
 
         page_idx = positions // paged_mod.PAGE_SIZE
         slot = positions % paged_mod.PAGE_SIZE
@@ -580,8 +581,12 @@ class LlamaModel:
                 vq, vs = quantize_kv(v)
                 apk = apk.at[i, phys_safe, :, slot].set(kq, mode="drop")
                 apv = apv.at[i, phys_safe, :, slot].set(vq, mode="drop")
-                apks = apks.at[i, phys_safe, :, slot].set(ks, mode="drop")
-                apvs = apvs.at[i, phys_safe, :, slot].set(vs, mode="drop")
+                apks = apks.at[
+                    i, phys_safe, slot % fold, :, slot // fold
+                ].set(ks[..., 0], mode="drop")
+                apvs = apvs.at[
+                    i, phys_safe, slot % fold, :, slot // fold
+                ].set(vs[..., 0], mode="drop")
                 pk, pv = _dyn(apk, i), _dyn(apv, i)
                 pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
@@ -596,12 +601,11 @@ class LlamaModel:
 
             if decode:
                 if use_kernel and jax.default_backend() == "tpu":
+                    dummy = jnp.zeros((1, fold, hkv, 1), jnp.float32)
                     attn = paged_attention_decode(
                         q[:, 0], pk, pv,
-                        pks if quantized else jnp.zeros(
-                            pk.shape[:3] + (1,), jnp.float32),
-                        pvs if quantized else jnp.zeros(
-                            pk.shape[:3] + (1,), jnp.float32),
+                        pks if quantized else dummy,
+                        pvs if quantized else dummy,
                         safe_tables, context_lens, scale,
                     )[:, None]
                 else:
@@ -620,9 +624,10 @@ class LlamaModel:
 
                 if quantized:
                     # gathered pages stay int8; scales fold into the dots
+                    unperm = paged_mod.unpermute_page_scales
                     attn = sdpa_quantized(
-                        q, flat(pk[bt_idx], dh), flat(pks[bt_idx], 1),
-                        flat(pv[bt_idx], dh), flat(pvs[bt_idx], 1),
+                        q, flat(pk[bt_idx], dh), flat(unperm(pks[bt_idx]), 1),
+                        flat(pv[bt_idx], dh), flat(unperm(pvs[bt_idx]), 1),
                         mask, scale,
                     )
                 else:
@@ -711,6 +716,7 @@ class LlamaModel:
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         quantized = pool.quantized
+        fold = pool.fold
 
         flat_ids = jnp.concatenate([dec_tokens, pf_ids])  # [M]
         positions = jnp.concatenate([dec_positions, pf_positions])  # [M]
@@ -757,8 +763,12 @@ class LlamaModel:
                 vq, vs = quantize_kv(v[0])
                 apk = apk.at[i, phys_safe, :, slot].set(kq, mode="drop")
                 apv = apv.at[i, phys_safe, :, slot].set(vq, mode="drop")
-                apks = apks.at[i, phys_safe, :, slot].set(ks, mode="drop")
-                apvs = apvs.at[i, phys_safe, :, slot].set(vs, mode="drop")
+                apks = apks.at[
+                    i, phys_safe, slot % fold, :, slot // fold
+                ].set(ks[..., 0], mode="drop")
+                apvs = apvs.at[
+                    i, phys_safe, slot % fold, :, slot // fold
+                ].set(vs[..., 0], mode="drop")
                 pk, pv = _dyn(apk, i), _dyn(apv, i)
                 pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
@@ -774,12 +784,11 @@ class LlamaModel:
             # decode lanes: paged attention, one query per lane
             q_dec = q[0, :b]  # [B, Hq, dh]
             if use_kernel and jax.default_backend() == "tpu":
+                dummy = jnp.zeros((1, fold, hkv, 1), jnp.float32)
                 attn_dec = paged_attention_decode(
                     q_dec, pk, pv,
-                    pks if quantized else jnp.zeros(
-                        pk.shape[:3] + (1,), jnp.float32),
-                    pvs if quantized else jnp.zeros(
-                        pk.shape[:3] + (1,), jnp.float32),
+                    pks if quantized else dummy,
+                    pvs if quantized else dummy,
                     safe_tables, dec_ctx, scale,
                 )
             else:
@@ -799,9 +808,10 @@ class LlamaModel:
 
                 if quantized:
                     # gathered pages stay int8; scales fold into the dots
+                    unperm = paged_mod.unpermute_page_scales
                     return sdpa_quantized(
-                        q_pf, flat(pk[bt], dh), flat(pks[bt], 1),
-                        flat(pv[bt], dh), flat(pvs[bt], 1),
+                        q_pf, flat(pk[bt], dh), flat(unperm(pks[bt]), 1),
+                        flat(pv[bt], dh), flat(unperm(pvs[bt]), 1),
                         pf_mask, scale,
                     )[0]
                 return sdpa(

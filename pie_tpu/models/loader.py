@@ -50,17 +50,45 @@ def load_safetensors_weights(model_path: Path) -> dict[str, np.ndarray]:
     return weights
 
 
+def resolve_model_path(model_path: str | Path) -> Path:
+    """Local path passthrough, or HF-hub snapshot download for repo ids
+    (reference models/utils.py:164-198 snapshot_download flow): a
+    non-existent path that looks like ``org/name`` is fetched (or served
+    from the local hub cache) via huggingface_hub."""
+    p = Path(model_path)
+    if p.exists():
+        return p
+    s = str(model_path)
+    if s.count("/") == 1 and not s.startswith((".", "/", "~")):
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:  # pragma: no cover - baked into the image
+            raise FileNotFoundError(
+                f"{s} is not a local path and huggingface_hub is unavailable"
+            ) from e
+        logger.info("downloading model snapshot %s from the HF hub", s)
+        return Path(snapshot_download(
+            repo_id=s,
+            allow_patterns=[
+                "*.safetensors", "*.json", "*.gguf",
+                "tokenizer.model", "*.txt",
+            ],
+        ))
+    raise FileNotFoundError(f"model path {s} does not exist")
+
+
 def load_model(
     model_path: str | Path,
     dtype=jnp.bfloat16,
     quantization: Optional[QuantizationConfig] = None,
 ):
-    """Load (model, params) from a local HF-style snapshot directory.
+    """Load (model, params) from a local HF-style snapshot directory or an
+    HF-hub repo id (downloaded via resolve_model_path).
 
     If the config has a "quantization" block, or `quantization` is passed,
     linear weights are group-wise quantized on load.
     """
-    model_path = Path(model_path)
+    model_path = resolve_model_path(model_path)
     # GGUF fallback (reference load order src/models/model_utils.cpp:108-126:
     # sharded safetensors -> single safetensors -> gguf)
     gguf_file = None

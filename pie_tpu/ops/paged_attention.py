@@ -9,9 +9,28 @@ reference's BatchDetails warned it must be, include/engine/batch_details.hpp:
 Decode shape: one query token per sequence, KV scattered across 64-token
 pages in a global HBM pool. The kernel walks each sequence's block table,
 double-buffers page DMAs HBM->VMEM, and maintains a flash-attention online
-softmax; GQA computes all q heads of a kv head against the page in one dot.
-INT8 pages are dequantized in VMEM with per-(token, head) scales (reference
-page.hpp:104-117 layout).
+softmax. INT8 pages carry per-(token, head) scales (reference page.hpp:
+104-117 layout) applied to the score / probability matrices, never
+materializing a dequantized cache.
+
+TPU lane-alignment design (Mosaic requires DMA'd blocks and their source
+views to have 128-aligned minor dims):
+
+- K/V pool pages are [Hkv, PAGE, D] per physical page. For D < 128 the
+  wrapper bitcast-reshapes the pool to [P, Hkv*(PAGE/f), f*D] with
+  f = 128//D ("fold"): row (h, t2) packs tokens t2*f..t2*f+f-1 of head h in
+  its f lane-blocks, which is exactly the natural row-major order — the
+  reshape is free. At D=64 (Llama-3.2-1B, the round-1 Mosaic failure) this
+  gives 128-lane rows; at D=128 it is the identity.
+- Scores for lane-block phase j come from a zero-padded query copy
+  q_j = [0..0 | q | 0..0] (q at lanes j*D..): one [Hq, f*D] x [f*D, Hkv*rows]
+  MXU dot per phase covers ALL kv heads at once; a block-diagonal head mask
+  (h_col == h_row // rep) built from iota removes cross-head terms before
+  softmax, and zero off-block probabilities make the [Hq, S] x [S?]  PV dot
+  exact.
+- Scales are stored phase-major ([P, f, Hkv, PAGE/f], see
+  cache/paged.py) so their flat [P, 1, Hkv*PAGE] view lines up with the
+  score columns — applied as one [1, S] row broadcast, no per-head slicing.
 """
 
 from __future__ import annotations
@@ -24,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pie_tpu.cache.paged import PAGE_SIZE, PagedKVPool
+from pie_tpu.cache.paged import PAGE_SIZE, fold_for, unpermute_page_scales
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -36,12 +55,12 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def paged_attention_xla(
     q: jax.Array,  # [B, Hq, D]
-    pool_k_layer: jax.Array,  # [P, Hkv, PAGE, D] (+ optional scales)
+    pool_k_layer: jax.Array,  # [P, Hkv, PAGE, D]
     pool_v_layer: jax.Array,
     block_tables: jax.Array,  # [B, maxP] int32 (-1 pad)
     context_lens: jax.Array,  # [B]
     scale: float,
-    k_scale: Optional[jax.Array] = None,  # [P, Hkv, PAGE, 1]
+    k_scale: Optional[jax.Array] = None,  # [P, f, Hkv, PAGE//f] (pool layout)
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, hq, d = q.shape
@@ -49,8 +68,10 @@ def paged_attention_xla(
     k = pool_k_layer[bt]  # [B, maxP, Hkv, PAGE, D]
     v = pool_v_layer[bt]
     if k_scale is not None:
-        k = k.astype(jnp.float32) * k_scale[bt]
-        v = v.astype(jnp.float32) * v_scale[bt]
+        ks = unpermute_page_scales(k_scale[bt])  # [B, maxP, Hkv, PAGE, 1]
+        vs = unpermute_page_scales(v_scale[bt])
+        k = k.astype(jnp.float32) * ks
+        v = v.astype(jnp.float32) * vs
     mp = bt.shape[1]
     hkv = k.shape[2]
     k = jnp.swapaxes(k, 2, 3)  # [B, maxP, PAGE, Hkv, D]
@@ -81,29 +102,33 @@ def _decode_kernel(
     context_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, Hq, D] VMEM block for this b
-    k_pool_ref,  # [P, Hkv, PAGE, D] in ANY/HBM
+    k_pool_ref,  # [P, Hkv*rows, f*D] in ANY/HBM (folded view)
     v_pool_ref,
-    ks_pool_ref,  # [P, Hkv, PAGE, 1] or [1,1,1,1] dummy
+    ks_pool_ref,  # [P, 1, S] f32 flat phase-major scales (or [1,1,1] dummy)
     vs_pool_ref,
     # outputs
     out_ref,  # [1, Hq, D]
     # scratch
-    k_buf,  # [2, Hkv, PAGE, D]
+    k_buf,  # [2, Hkv*rows, f*D]
     v_buf,
-    ks_buf,  # [2, Hkv, PAGE, 1]
+    ks_buf,  # [2, 1, S] f32
     vs_buf,
     sems,  # DMA sems [2, 4]
     *,
     scale: float,
     num_kv_heads: int,
     rep: int,
-    max_pages: int,
+    fold: int,
     quantized: bool,
 ):
     b = pl.program_id(0)
     ctx_len = context_lens_ref[b]
     num_pages = pl.cdiv(ctx_len, PAGE_SIZE)
     d = q_ref.shape[-1]
+    hq = num_kv_heads * rep
+    rows = PAGE_SIZE // fold
+    hr = num_kv_heads * rows  # columns per phase
+    s = fold * hr  # total score columns per page (= Hkv*PAGE)
 
     def page_dma(slot, logical_page):
         phys = block_tables_ref[b, logical_page]
@@ -132,6 +157,24 @@ def _decode_kernel(
             c.start()
 
     q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
+    # one zero-padded query copy per lane-block phase: q at lanes j*D..
+    zeros = jnp.zeros((hq, d), jnp.float32)
+    q_phases = [
+        jnp.concatenate([zeros] * j + [q] + [zeros] * (fold - 1 - j), axis=1)
+        if fold > 1 else q
+        for j in range(fold)
+    ]  # each [Hq, f*D]
+
+    # loop-invariant mask pieces over the [Hq, S] score tile:
+    # column -> (phase j, kv head h, packed row t2); token pos within page
+    # = t2*fold + j; row -> its kv head hq_row // rep.
+    col = jax.lax.broadcasted_iota(jnp.int32, (hq, s), 1)
+    jph = col // hr
+    rem = col - jph * hr
+    h_col = rem // rows
+    in_page_pos = (rem - h_col * rows) * fold + jph  # [Hq, S]
+    h_row = jax.lax.broadcasted_iota(jnp.int32, (hq, s), 0) // rep
+    head_ok = h_col == h_row
 
     def body(p, carry):
         m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,D]
@@ -145,46 +188,42 @@ def _decode_kernel(
         for c in page_dma(slot, p):
             c.wait()
 
-        # token validity within this page
-        tok_pos = p * PAGE_SIZE + jax.lax.broadcasted_iota(
-            jnp.int32, (1, PAGE_SIZE), 1
-        )
-        valid = tok_pos < ctx_len  # [1, PAGE]
-
-        # per-kv-head tiles are leading-dim slices of the head-major page
-        # buffer: [PAGE, D] with clean sublane/lane tiling at any head_dim
-        scores_heads = []
-        for h in range(num_kv_heads):
-            qh = q[h * rep:(h + 1) * rep, :]  # [rep, D] (static slice)
-            kh = k_buf[slot, h].astype(jnp.float32)  # [PAGE, D]
-            if quantized:
-                kh = kh * ks_buf[slot, h]
-            s_h = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [rep, PAGE]
-            scores_heads.append(jnp.where(valid, s_h, NEG_INF))
-        scores = jnp.concatenate(scores_heads, axis=0)  # [Hq, PAGE]
+        kp = k_buf[slot].astype(jnp.float32)  # [hr, f*D]
+        scores = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qj, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for qj in q_phases
+            ],
+            axis=1,
+        )  # [Hq, S]
+        if quantized:
+            scores = scores * ks_buf[slot]  # [1, S] broadcast
+        valid = head_ok & (in_page_pos < ctx_len - p * PAGE_SIZE)
+        scores = jnp.where(valid, scores, NEG_INF)
 
         page_m = jnp.max(scores, axis=-1, keepdims=True)  # [Hq, 1]
         new_m = jnp.maximum(m, page_m)
         alpha = jnp.exp(m - new_m)
-        probs = jnp.exp(scores - new_m)  # [Hq, PAGE]
+        probs = jnp.exp(scores - new_m)  # [Hq, S]
         new_l = l * alpha + jnp.sum(probs, axis=-1, keepdims=True)
-        pv_heads = []
-        for h in range(num_kv_heads):
-            ph = probs[h * rep:(h + 1) * rep, :]  # static slice
-            vh = v_buf[slot, h].astype(jnp.float32)  # [PAGE, D]
-            if quantized:
-                vh = vh * vs_buf[slot, h]
-            pv_heads.append(
-                jnp.dot(ph, vh, preferred_element_type=jnp.float32)
-            )  # [rep, D]
-        pv = jnp.concatenate(pv_heads, axis=0)  # [Hq, D]
-        new_acc = acc * alpha + pv
+        if quantized:
+            probs = probs * vs_buf[slot]
+        vp = v_buf[slot].astype(jnp.float32)  # [hr, f*D]
+        contrib = jnp.zeros((hq, d), jnp.float32)
+        for j in range(fold):
+            pj = (
+                probs[:, j * hr:(j + 1) * hr] if fold > 1 else probs
+            )  # [Hq, hr]
+            oj = jnp.dot(pj, vp, preferred_element_type=jnp.float32)
+            contrib = contrib + (
+                oj[:, j * d:(j + 1) * d] if fold > 1 else oj
+            )
+        new_acc = acc * alpha + contrib
         return new_m, new_l, new_acc
 
-    hq = num_kv_heads * rep
     init = (
         jnp.full((hq, 1), NEG_INF, jnp.float32),
         jnp.zeros((hq, 1), jnp.float32),
@@ -202,7 +241,7 @@ def paged_attention_decode(
     q: jax.Array,  # [B, Hq, D]
     pool_k_layer: jax.Array,  # [P, Hkv, PAGE, D]
     pool_v_layer: jax.Array,
-    ks_layer: jax.Array,  # [P, Hkv, PAGE, 1] (ignored unless int8 pool)
+    ks_layer: jax.Array,  # [P, f, Hkv, PAGE//f] (ignored unless int8 pool)
     vs_layer: jax.Array,
     block_tables: jax.Array,  # [B, maxP]
     context_lens: jax.Array,  # [B]
@@ -213,8 +252,25 @@ def paged_attention_decode(
     p, hkv, page, _ = pool_k_layer.shape
     assert page == PAGE_SIZE
     rep = hq // hkv
-    max_pages = block_tables.shape[1]
     quantized = pool_k_layer.dtype == jnp.int8
+    fold = fold_for(d)
+    assert (fold * d) % 128 == 0, (
+        f"head_dim {d} cannot fold to a 128-lane row; use the XLA path"
+    )
+    rows = page // fold
+    hr = hkv * rows
+    s = hkv * page
+
+    # free bitcast views: [P, Hkv, PAGE, D] -> [P, Hkv*rows, f*D];
+    # scales [P, f, Hkv, rows] -> [P, 1, S] matching score-column order
+    kf = pool_k_layer.reshape(p, hr, fold * d)
+    vf = pool_v_layer.reshape(p, hr, fold * d)
+    if quantized:
+        ksf = ks_layer.reshape(p, 1, s)
+        vsf = vs_layer.reshape(p, 1, s)
+    else:
+        ksf = jnp.zeros((1, 1, 128), jnp.float32)
+        vsf = jnp.zeros((1, 1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -228,10 +284,10 @@ def paged_attention_decode(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, PAGE_SIZE, d), pool_k_layer.dtype),
-            pltpu.VMEM((2, hkv, PAGE_SIZE, d), pool_k_layer.dtype),
-            pltpu.VMEM((2, hkv, PAGE_SIZE, 1), jnp.float32),
-            pltpu.VMEM((2, hkv, PAGE_SIZE, 1), jnp.float32),
+            pltpu.VMEM((2, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM((2, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
+            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
@@ -240,7 +296,7 @@ def paged_attention_decode(
         scale=scale,
         num_kv_heads=hkv,
         rep=rep,
-        max_pages=max_pages,
+        fold=fold,
         quantized=quantized,
     )
     return pl.pallas_call(
@@ -248,5 +304,4 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(block_tables, context_lens, q, pool_k_layer, pool_v_layer,
-      ks_layer, vs_layer)
+    )(block_tables, context_lens, q, kf, vf, ksf, vsf)

@@ -31,6 +31,8 @@ class TokenMasker:
 
     def _build(self):
         decode = self.tokenizer.decode
+        self.by_str: dict[str, int] = {}
+        self._max_tok_len = 1
         for tid in range(self.vocab_size):
             try:
                 s = decode([tid])
@@ -44,6 +46,30 @@ class TokenMasker:
                 continue
             self.token_strs.append(s)
             self.by_first.setdefault(s[0], []).append(tid)
+            self.by_str.setdefault(s, tid)
+            if len(s) > self._max_tok_len:
+                self._max_tok_len = len(s)
+
+    def encode_longest(self, s: str) -> list[int]:
+        """Greedy longest-match tokenization of ``s`` over exact token
+        strings; returns ids covering the longest encodable prefix of ``s``
+        (stops at the first position where no token string matches). Used by
+        the forced-run fast path: any tokenization of a character-forced run
+        is accepted by the machine, so the canonical greedy one is emitted
+        without a device step (reference multi_token_sampling=True,
+        engine/inference_engine.py:40)."""
+        out: list[int] = []
+        i, n = 0, len(s)
+        while i < n:
+            for length in range(min(self._max_tok_len, n - i), 0, -1):
+                tid = self.by_str.get(s[i:i + length])
+                if tid is not None:
+                    out.append(tid)
+                    i += length
+                    break
+            else:
+                break
+        return out
 
     def candidates_for(self, allowed_chars: set) -> list[int]:
         out: list[int] = []

@@ -33,8 +33,9 @@ TINY = dict(
 JSON_PIECES = (
     list('{}[]":,.-0123456789 ')
     + ['{"', '"}', '": ', '", "', "true", "false", "null"]
-    + list("abcdefghijklmnopqrstuvwxyz")
+    + list("abcdefghijklmnopqrstuvwxyz</>")
     + ["name", "count", "city", "alpha", "beta", "get_weather", "arguments"]
+    + ["<think>", "</think>"]
 )
 
 

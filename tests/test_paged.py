@@ -2,6 +2,8 @@
 write/gather round-trip, XLA paged attention vs dense SDPA, Pallas kernel
 (interpret) vs XLA reference, INT8 pages."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -145,3 +147,27 @@ def test_pallas_decode_kernel_matches_xla(quantized):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+def test_pallas_decode_kernel_on_tpu():
+    """Compile + run the kernel on real TPU hardware (the round-1 failure
+    mode: Mosaic lane-alignment at head_dim 64). Skipped unless a TPU is
+    attached and PIE_TPU_TESTS=1; runs scripts/tpu_kernel_check.py in a
+    clean subprocess so this suite's forced-CPU conftest doesn't apply."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("PIE_TPU_TESTS"):
+        pytest.skip("PIE_TPU_TESTS not set")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    proc = subprocess.run(
+        [sys.executable,
+         str(Path(__file__).resolve().parent.parent
+             / "scripts" / "tpu_kernel_check.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

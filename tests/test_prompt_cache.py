@@ -110,3 +110,82 @@ def test_prompt_cache_disk(tmp_path):
     loaded, computed = hit
     assert computed == ids
     assert pc.load_prompt([4, 5]) is None
+
+
+def _tiny_engine(**kw):
+    config = LlamaConfig.from_dict(dict(TINY, model_type="llama"))
+    model = LlamaModel(config)
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    return model, params, InferenceEngine(
+        model=model, params=params, max_seq_len=128, kv_dtype=jnp.float32,
+        decode_chunk=4, **kw,
+    )
+
+
+def test_cache_prompt_disk_through_engine(tmp_path):
+    """engine.cache_prompt persists KV; a FRESH engine restores it from disk
+    during generate and prefills only the last token (reference
+    cache_prompt -> load_cached_prompt flow, cache/prompt_cache.py:78-125)."""
+    model, params, eng = _tiny_engine(prompt_cache_dir=tmp_path)
+    prompt = [5, 7, 11, 13, 17, 19]
+    path = eng.cache_prompt(prompt)
+    assert path is not None and path.exists()
+    ref = eng.generate(prompt, max_completion_tokens=8, temperature=0.0)
+
+    fresh = InferenceEngine(
+        model=model, params=params, max_seq_len=128, kv_dtype=jnp.float32,
+        decode_chunk=4, prompt_cache_dir=tmp_path,
+    )
+    calls = {"n": 0, "slens": []}
+    orig = fresh.core._prefill
+
+    def counting(params_, state, ids, lens, first_pos, *a, **kw):
+        calls["n"] += 1
+        calls["slens"].append(int(np.asarray(lens)[0]))
+        return orig(params_, state, ids, lens, first_pos, *a, **kw)
+
+    fresh.core._prefill = counting
+    try:
+        res = fresh.generate(prompt, max_completion_tokens=8, temperature=0.0)
+    finally:
+        fresh.core._prefill = orig
+    # disk hit: only the final prompt token is re-prefetched
+    assert calls["slens"] == [1]
+    assert res.token_ids == ref.token_ids
+
+
+def test_kv_quantize_threshold_through_engine():
+    """The contiguous cache converts to INT8 once a request crosses the
+    threshold (reference maybe_quantize, cache/kv_cache/__init__.py:241-265)."""
+    _, _, eng = _tiny_engine(prompt_cache=False, kv_quantize_threshold=10)
+    assert isinstance(eng.state.cache, KVCache)
+    eng.generate(list(range(1, 16)), max_completion_tokens=4, temperature=0.0)
+    # threshold crossed during that request; conversion happens on the next
+    eng.generate([1, 2, 3], max_completion_tokens=2, temperature=0.0)
+    assert isinstance(eng.state.cache, QuantizedKVCache)
+
+
+def test_hub_resolve_monkeypatched(tmp_path, monkeypatch):
+    """Non-local org/name paths route through huggingface_hub
+    snapshot_download (reference models/utils.py:164-198)."""
+    from pie_tpu.models import loader as loader_mod
+
+    local = tmp_path / "snap"
+    local.mkdir()
+    seen = {}
+
+    def fake_snapshot_download(repo_id, **kw):
+        seen["repo"] = repo_id
+        return str(local)
+
+    import huggingface_hub
+
+    monkeypatch.setattr(
+        huggingface_hub, "snapshot_download", fake_snapshot_download
+    )
+    out = loader_mod.resolve_model_path("org/model-name")
+    assert out == local and seen["repo"] == "org/model-name"
+    # local paths pass through untouched; junk raises
+    assert loader_mod.resolve_model_path(tmp_path) == tmp_path
+    with pytest.raises(FileNotFoundError):
+        loader_mod.resolve_model_path("/definitely/not/here")

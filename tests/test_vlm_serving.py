@@ -200,4 +200,4 @@ def test_server_chat_with_image(vlm_engine):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())
