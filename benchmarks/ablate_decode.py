@@ -12,7 +12,17 @@ import os
 import subprocess
 import sys
 
-ABLATIONS = ["", "nocache", "norope", "nocache,norope", "noattn"]
+ABLATIONS = [
+    "",
+    "noattn",
+    "norope",
+    "nocache,norope",
+    "noproc",
+    "nosample",
+    "noproc,nosample",
+    "nohead",
+    "noattn,norope,noproc,nosample",  # matmul+norm floor
+]
 
 CHILD = r"""
 import sys, time, json

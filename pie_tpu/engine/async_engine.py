@@ -198,6 +198,81 @@ class BatchedInferenceEngine:
             except StopIteration as e:
                 return e.value
 
+    # -- constrained decoding (structured generation) --------------------
+
+    _token_masker = None
+
+    @property
+    def token_masker(self):
+        if self._token_masker is None:
+            from pie_tpu.structured.token_masks import TokenMasker
+
+            if self.tokenizer is None:
+                raise InferenceError(
+                    "constrained decoding requires a tokenizer"
+                )
+            self._token_masker = TokenMasker(self.tokenizer)
+        return self._token_masker
+
+    def generate_constrained(
+        self,
+        prompt_ids,
+        machine,
+        max_completion_tokens: int = 1024,
+        stop_token_ids=(),
+        logprobs: bool = False,
+        **kwargs,
+    ):
+        """Constrained generation under continuous batching: the sequence
+        carries its character machine into the scheduler, which masks its
+        choice points per chunk and batches forced-token runs through the
+        prefill rider (see Scheduler._emit_constrained). Other lanes keep
+        decoding concurrently. Same return contract as
+        InferenceEngine.generate_constrained: (GenerationResult, text).
+        ``logprobs`` is accepted for signature parity but not populated on
+        the batched path."""
+        if not prompt_ids:
+            raise InferenceError("empty prompt")
+        masker = self.token_masker
+        self.start()
+        out_q: queue.Queue = queue.Queue()
+        seq = Sequence(
+            seq_id=self._next_id(),
+            prompt_ids=list(prompt_ids),
+            max_new_tokens=max_completion_tokens,
+            stop_token_ids=tuple(stop_token_ids),
+            temperature=float(kwargs.get("temperature", 1.0)),
+            top_p=float(kwargs.get("top_p", 1.0)),
+            min_p=float(kwargs.get("min_p", 0.0)),
+            top_k=int(kwargs.get("top_k", -1)),
+            repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
+            presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
+            frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+            machine=machine.copy(),
+            masker=masker,
+        )
+        seq._out_q = out_q
+        seq.on_finish = lambda s: out_q.put(_SENTINEL)
+        self._submit_q.put(seq)
+        self._wake.set()
+        while out_q.get() is not _SENTINEL:
+            pass  # block until the scheduler finishes the sequence
+        finish = seq.finish_reason or "length"
+        if finish.startswith("error") and "constrained" not in finish:
+            raise InferenceError(finish)
+        text = "".join(
+            masker.token_strs[t]
+            for t in seq.output_ids
+            if t < masker.vocab_size and masker.token_strs[t] is not None
+        )
+        result = GenerationResult(
+            token_ids=list(seq.output_ids),
+            finish_reason=finish,
+            prompt_tokens=len(seq.prompt_ids),
+            completion_tokens=len(seq.output_ids),
+        )
+        return result, text
+
     # chat surface shared with InferenceEngine
     def chat_stream(self, interactions, **kw):
         return _chat_run(self, interactions, **kw)

@@ -270,6 +270,10 @@ class EngineCore:
                     allowed_mask,
                 )
             key, sub = jax.random.split(state.key)
+            # advance the RNG only when some lane actually samples: a
+            # speculative chunk dispatched after every lane froze must not
+            # perturb the seeded stream of a later request on this engine
+            key = jnp.where(jnp.any(active), key, state.key)
             if "nosample" in self._ablate:
                 token = logits[:, :8].argmax(-1).astype(jnp.int32)
             else:

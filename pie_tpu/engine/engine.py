@@ -245,6 +245,23 @@ class InferenceEngine:
         self.prompt_cache.update(prompt_ids)
         return self.prompt_cache.save_prompt(prompt_ids, state.cache)
 
+    def _cache_compatible(self, loaded) -> bool:
+        """A disk prompt-cache hit is keyed by token ids only (reference
+        prompt_hash semantics); a stale file from a different model or
+        engine geometry sharing the cache dir must fall back to
+        recomputation instead of restoring wrong KV or crashing prefill."""
+        cur = self.state.cache
+        if type(loaded) is not type(cur):
+            return False
+        for f in dataclasses.fields(cur):
+            a, b = getattr(cur, f.name), getattr(loaded, f.name)
+            if isinstance(a, (jax.Array, np.ndarray)):
+                if not isinstance(b, (jax.Array, np.ndarray)):
+                    return False
+                if a.shape != b.shape or a.dtype != b.dtype:
+                    return False
+        return True
+
     # ------------------------------------------------------------------
 
     def _run(self, prompt_ids, max_tokens, stop_token_ids, logprobs, kw,
@@ -271,8 +288,15 @@ class InferenceEngine:
                 # disk prompt cache: an exact previously-cached prompt
                 # restores its KV without recomputation (reference
                 # load_cached_prompt, cache/prompt_cache.py:78-125)
-                hit = self.prompt_cache.load_prompt(prompt_ids)
-                if hit is not None:
+                try:
+                    hit = self.prompt_cache.load_prompt(prompt_ids)
+                except Exception:
+                    logger.warning(
+                        "prompt cache: unreadable cache file, recomputing",
+                        exc_info=True,
+                    )
+                    hit = None
+                if hit is not None and self._cache_compatible(hit[0]):
                     cache, computed = hit
                     self.state = dataclasses.replace(self.state, cache=cache)
                     self.prompt_cache.update(computed)
@@ -371,11 +395,9 @@ class InferenceEngine:
             mx.async_eval one-step lookahead (engine/inference_engine.py:
             279-289). Done lanes are frozen on-device, so a speculative
             chunk after a stop token only emits PAD and never corrupts
-            state.  RNG caveat: a speculative chunk still splits state.key
-            on frozen lanes, so with temperature>0 the sampling stream of a
-            *subsequent* request on a reused engine depends on
-            pipeline_chunks and where the stop token landed; per-request
-            seeds are unaffected."""
+            state; all-frozen steps also skip the RNG split on-device, so
+            the seeded sampling stream of a subsequent request does not
+            depend on pipeline_chunks or where the stop token landed."""
             nonlocal state, planned
             steps = _decode_steps(self.decode_chunk, max_tokens - planned)
             state, outs = self.core._decode(
@@ -623,7 +645,11 @@ class InferenceEngine:
                 for fid in masker.encode_longest(
                     "".join(forced_chars)
                 )[:budget]:
-                    machine.advance(masker.token_strs[fid])
+                    if not machine.advance(masker.token_strs[fid]):
+                        # defensive: encode_longest emitted a token whose
+                        # multi-char advance the machine rejects — drop it
+                        # and resume at the (still consistent) choice point
+                        break
                     out_tokens.append(fid)
                     if logprobs:
                         out_logprobs.append(TokenLogprob(fid, 0.0, []))

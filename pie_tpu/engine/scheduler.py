@@ -75,12 +75,24 @@ class Sequence:
 
     status: SeqStatus = SeqStatus.WAITING
     output_ids: list[int] = dataclasses.field(default_factory=list)
-    prefill_pos: int = 0  # prompt tokens already prefilled
+    prefill_pos: int = 0  # pending tokens already written to the pool
     lane: int = -1
     finish_reason: Optional[str] = None
     cancelled: bool = False
     on_token: Optional[Callable[["Sequence", int], None]] = None
     on_finish: Optional[Callable[["Sequence"], None]] = None
+    # constrained decoding (reference engine/inference_engine.py:241-271):
+    # a character machine restricting output + the vocab masker to build
+    # per-choice-point token masks; set by
+    # BatchedInferenceEngine.generate_constrained
+    machine: Any = None
+    masker: Any = None
+    # tokens whose KV still needs writing, starting at pool position
+    # pending_base; the LAST pending token is the wake token (its KV is
+    # written during its own decode step). Initialized to the prompt at
+    # admission; re-armed mid-generation for forced-token runs.
+    pending: list[int] = dataclasses.field(default_factory=list)
+    pending_base: int = 0
 
     @property
     def num_tokens(self) -> int:
@@ -130,7 +142,7 @@ class PagedEngine:
         self._sample_first = jax.jit(self._sample_first_impl)
         self._chunk = jax.jit(
             self._chunk_impl, donate_argnames=("pool",),
-            static_argnames=("num_steps", "sampler_kind"),
+            static_argnames=("num_steps", "sampler_kind", "use_mask"),
         )
 
     # -- device programs -------------------------------------------------
@@ -193,9 +205,15 @@ class PagedEngine:
         wake_tokens,  # [B] the prompt's final token (first decode input)
         wake_ctx,  # [B] pool tokens at wake (= prompt_len - 1)
         wake_hist,  # [B, H] history seeded with the prompt tail
+        allowed_mask,  # [B, V] bool — constrained-decoding token mask
+        mask_valid,  # [B] bool — whether allowed_mask applies to the lane
+        chunk_budget,  # [B] int32 tokens a lane may emit THIS chunk (a
+        #                constrained lane's mask is valid for exactly one
+        #                choice point, so its budget is 1)
         key,
         num_steps: int,
         sampler_kind: str = "auto",
+        use_mask: bool = False,
     ):
         """N mixed continuous-batching steps fully on-device (one host sync
         per chunk instead of per token): every step advances all live decode
@@ -208,7 +226,7 @@ class PagedEngine:
         """
 
         def step(carry, xs):
-            pool, last, ctx, hist, done, prod, key = carry
+            pool, last, ctx, hist, done, prod, cnt, key = carry
             pf_ids, pf_pos, pf_lane, pf_ctx, s = xs
 
             wake = wake_step == s
@@ -217,7 +235,7 @@ class PagedEngine:
             hist = jnp.where(wake[:, None], wake_hist, hist)
             done = done & ~wake
 
-            active = ~done
+            active = ~done & (cnt < chunk_budget)
             dec_pos = jnp.where(active, ctx, -1)
             dec_ctx = jnp.where(active, ctx + 1, 1)
             logits, pool = self.model.mixed_forward(
@@ -228,6 +246,10 @@ class PagedEngine:
             logits = presence_frequency_penalty(
                 logits, hist, pen_pres, pen_freq
             )
+            if use_mask:
+                logits = jnp.where(
+                    mask_valid[:, None] & ~allowed_mask, -1e30, logits
+                )
             key, sub = jax.random.split(key)
             tok = sample(logits, sampling, sub, kind=sampler_kind)
             tok = jnp.where(active, tok, last)
@@ -235,6 +257,7 @@ class PagedEngine:
 
             hit_stop = jnp.any(tok[:, None] == stop_ids, axis=1)
             prod = prod + active.astype(jnp.int32)
+            cnt = cnt + active.astype(jnp.int32)
             done = done | (active & (hit_stop | (prod >= max_new)))
             ctx = ctx + active.astype(jnp.int32)
             hist = jnp.where(
@@ -242,17 +265,19 @@ class PagedEngine:
                 jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1),
                 hist,
             )
-            return (pool, tok, ctx, hist, done, prod, key), emitted
+            return (pool, tok, ctx, hist, done, prod, cnt, key), emitted
 
         xs = (
             pf_ids_steps, pf_pos_steps, pf_lane_steps, pf_ctx_steps,
             jnp.arange(num_steps, dtype=jnp.int32),
         )
+        cnt0 = jnp.zeros_like(produced)
         carry0 = (
-            pool, last_tokens, context_lens, histories, done, produced, key
+            pool, last_tokens, context_lens, histories, done, produced,
+            cnt0, key,
         )
         carry, emitted = jax.lax.scan(step, carry0, xs, length=num_steps)
-        pool, last, ctx, hist, done, prod, key = carry
+        pool, last, ctx, hist, done, prod, _, key = carry
         return emitted, pool, last, ctx, hist, done, prod, key
 
 
@@ -339,12 +364,23 @@ class Scheduler:
     def step(self) -> list[Sequence]:
         """Admit -> plan a chunk (prefill-rider slices + wake schedule) ->
         dispatch ONE device program for ``decode_steps`` mixed steps ->
-        drain. Returns sequences that finished during the chunk."""
+        drain. Returns sequences that finished during the chunk.
+
+        While any constrained (machine-carrying) sequence is live the chunk
+        drops to ONE step: a constraint mask is valid for exactly one choice
+        point, so the host must see each constrained token before building
+        the next mask (reference engine/inference_engine.py:241-271 per-token
+        loop). Forced-token runs still batch through the prefill rider."""
         self._admit()
-        plan = self._plan_chunk()
+        n = (
+            1
+            if any(s.machine is not None for s in self.running.values())
+            else self.decode_steps
+        )
+        plan = self._plan_chunk(n)
         if plan is None:
             return []
-        return self._dispatch_and_drain(plan)
+        return self._dispatch_and_drain(plan, n)
 
     def _admit(self):
         while self.waiting and self.free_lanes:
@@ -365,6 +401,8 @@ class Scheduler:
             seq.lane = lane
             seq.status = SeqStatus.PREFILLING
             seq.prefill_pos = 0
+            seq.pending = list(seq.prompt_ids)
+            seq.pending_base = 0
             self.running[lane] = seq
             table = self.manager.block_table(seq.seq_id)
             self.block_tables[lane] = -1
@@ -385,12 +423,13 @@ class Scheduler:
             self.pen["presence"][lane] = seq.presence_penalty
             self.pen["frequency"][lane] = seq.frequency_penalty
 
-    def _plan_chunk(self):
+    def _plan_chunk(self, n: Optional[int] = None):
         """Build the data plan for one chunk: prefill-rider slices (one lane
         per step slice), wake schedule for lanes whose prefill completes,
         and page pre-allocation. Returns None when there is nothing to run."""
         e = self.engine
-        n = self.decode_steps
+        if n is None:
+            n = self.decode_steps
         cs = e.rider_width
         b = e.num_lanes
 
@@ -413,41 +452,44 @@ class Scheduler:
             if s.status == SeqStatus.PREFILLING
         ]
         def wake(lane, seq, s):
-            # prompt body done: the final prompt token becomes the lane's
-            # first decode input at this very step (its KV for this step's
-            # rider slice is written before the decode attention reads)
+            # pending body done: the final pending token becomes the lane's
+            # next decode input at this very step (its KV for this step's
+            # rider slice is written before the decode attention reads).
+            # For an admitted prompt, pending == prompt_ids; for a
+            # constrained forced run, pending == [last sampled, *forced].
             wake_step[lane] = s
-            wake_tokens[lane] = seq.prompt_ids[-1]
-            wake_ctx[lane] = len(seq.prompt_ids) - 1
-            tail = seq.prompt_ids[-e.history_len :]
+            wake_tokens[lane] = seq.pending[-1]
+            wake_ctx[lane] = seq.pending_base + len(seq.pending) - 1
+            tail = (seq.prompt_ids + seq.output_ids)[-e.history_len :]
             wake_hist[lane] = PAD_TOKEN
             wake_hist[lane, -len(tail):] = tail
             seq.status = SeqStatus.DECODING
-            self.produced[lane] = 0
+            self.produced[lane] = len(seq.output_ids)
 
         qi = iter(prefilling)
         cur = next(qi, None)
         for s in range(n):
             while cur is not None:
                 lane, seq = cur
-                plen1 = len(seq.prompt_ids) - 1
+                base = seq.pending_base
+                plen1 = len(seq.pending) - 1
                 rem = plen1 - seq.prefill_pos
                 if rem <= 0:
-                    # nothing to prefill (single-token prompt): wake without
+                    # nothing to prefill (single-token pending): wake without
                     # consuming this step's rider slice
                     wake(lane, seq, s)
                     cur = next(qi, None)
                     continue
                 cnt = min(cs, rem)
-                sl = seq.prompt_ids[seq.prefill_pos : seq.prefill_pos + cnt]
+                sl = seq.pending[seq.prefill_pos : seq.prefill_pos + cnt]
                 pf_ids[s, :cnt] = sl
-                pf_pos[s, :cnt] = np.arange(
+                pf_pos[s, :cnt] = base + np.arange(
                     seq.prefill_pos, seq.prefill_pos + cnt
                 )
                 pf_lane[s] = lane
                 seq.prefill_pos += cnt
-                pf_ctx[s] = seq.prefill_pos
-                self.context_lens[lane] = seq.prefill_pos
+                pf_ctx[s] = base + seq.prefill_pos
+                self.context_lens[lane] = base + seq.prefill_pos
                 if seq.prefill_pos >= plen1:
                     wake(lane, seq, s)
                     cur = next(qi, None)
@@ -476,7 +518,9 @@ class Scheduler:
         dead = set()
         for lane, seq in prefilling:
             if seq.status == SeqStatus.PREFILLING:
-                if not self.manager.extend_seq(seq.seq_id, seq.prefill_pos):
+                if not self.manager.extend_seq(
+                    seq.seq_id, seq.pending_base + seq.prefill_pos
+                ):
                     self._finish(seq, "error: out of pages")
                     dead.add(lane)
                     continue
@@ -497,10 +541,38 @@ class Scheduler:
             wake_hist=wake_hist,
         )
 
-    def _dispatch_and_drain(self, plan) -> list[Sequence]:
+    def _dispatch_and_drain(self, plan, n: Optional[int] = None) -> list[Sequence]:
         e = self.engine
-        n = self.decode_steps
+        if n is None:
+            n = self.decode_steps
         from pie_tpu.ops.sampling import sampler_kind_for
+
+        b = e.num_lanes
+        # constrained lanes: per-lane token mask + a 1-token chunk budget
+        # (the mask covers exactly one choice point); maskless chunks compile
+        # a separate program that skips the [B, V] mask transfer entirely
+        mask_lanes = [
+            (lane, s) for lane, s in self.running.items()
+            if s.machine is not None and s.status == SeqStatus.DECODING
+        ]
+        use_mask = bool(mask_lanes)
+        chunk_budget = np.full((b,), n, np.int32)
+        mask_valid = np.zeros((b,), bool)
+        if use_mask:
+            v = e.model.config.vocab_size
+            allowed = np.ones((b, v), bool)
+            for lane, seq in mask_lanes:
+                chunk_budget[lane] = 1
+                machine = seq.machine
+                if getattr(machine, "is_unconstrained", lambda: False)():
+                    continue  # freeform phase: sample unmasked
+                m = seq.masker.build_mask(machine)
+                row = np.zeros((v,), bool)
+                row[: m.shape[0]] = m
+                allowed[lane] = row
+                mask_valid[lane] = True
+        else:
+            allowed = np.ones((1, 1), bool)
 
         lanes = [
             lane for lane, s in self.running.items()
@@ -542,9 +614,13 @@ class Scheduler:
             jnp.asarray(plan["wake_tokens"]),
             jnp.asarray(plan["wake_ctx"]),
             jnp.asarray(plan["wake_hist"]),
+            jnp.asarray(allowed),
+            jnp.asarray(mask_valid),
+            jnp.asarray(chunk_budget),
             e.key,
             num_steps=n,
             sampler_kind=skind,
+            use_mask=use_mask,
         )
         emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
         # np.array (not asarray): device->host views are read-only and the
@@ -571,7 +647,12 @@ class Scheduler:
                 tok = int(emitted[s, lane])
                 if tok == PAD_TOKEN:
                     continue
-                self._emit(seq, tok)
+                if seq.machine is not None:
+                    self._emit_constrained(seq, tok)
+                else:
+                    self._emit(seq, tok)
+                if seq.status == SeqStatus.PREFILLING:
+                    break  # re-armed with a forced-token run; wakes later
                 if seq.status != SeqStatus.DECODING:
                     finished.append(seq)
                     break
@@ -585,6 +666,91 @@ class Scheduler:
     def _sync_table(self, lane: int, seq: Sequence):
         table = self.manager.block_table(seq.seq_id)
         self.block_tables[lane, : len(table)] = table
+
+    def _emit_constrained(self, seq: Sequence, tok: int):
+        """Advance a constrained lane by one sampled token: validate against
+        the character machine, then chase the forced-token fast path — a run
+        of machine-determined characters is encoded host-side, emitted with
+        NO device sampling, and its KV rides the next chunk's prefill rider
+        (the batched analog of InferenceEngine.generate_constrained's
+        multi-token extend; reference multi_token_sampling,
+        engine/inference_engine.py:40)."""
+        from pie_tpu.structured.token_masks import ANY_CHAR
+
+        machine, masker = seq.machine, seq.masker
+        if tok in seq.stop_token_ids:
+            self._emit(seq, tok)
+            return
+        tstr = masker.token_strs[tok] if tok < masker.vocab_size else None
+        unconstrained = getattr(machine, "is_unconstrained", lambda: False)()
+        if tstr is None and unconstrained:
+            # undecodable (partial-UTF8) token during a freeform phase:
+            # emit it without advancing the character machine
+            self._emit(seq, tok)
+            return
+        if tstr is None or not machine.advance(tstr):
+            logger.warning(
+                "constrained decoding: token %d (%r) rejected", tok, tstr
+            )
+            self._finish(
+                seq, "error: constrained decoding produced invalid token"
+            )
+            return
+        self._emit(seq, tok)  # handles stop-token / length finishes
+        if seq.status != SeqStatus.DECODING:
+            return
+        if machine.is_complete:
+            self._finish(seq, "stop")
+            return
+
+        forced: list[int] = []
+        if hasattr(machine, "allowed_chars"):
+            probe = machine.copy()
+            chars: list[str] = []
+            while len(chars) < 4096:
+                cs_ = probe.allowed_chars()
+                if len(cs_) != 1:
+                    break
+                ch = next(iter(cs_))
+                if ch == ANY_CHAR or not probe.advance(ch):
+                    break
+                chars.append(ch)
+                if probe.is_complete:
+                    break
+            if chars:
+                lane = seq.lane
+                budget = min(
+                    seq.max_new_tokens - len(seq.output_ids),
+                    # pending tokens must fit the lane's page table
+                    self.engine.max_pages_per_seq * PAGE_SIZE
+                    - int(self.context_lens[lane]) - 1,
+                )
+                for fid in masker.encode_longest("".join(chars))[
+                    : max(0, budget)
+                ]:
+                    if not machine.advance(masker.token_strs[fid]):
+                        break  # defensive: keep machine/output consistent
+                    forced.append(fid)
+                    if machine.is_complete:
+                        break
+        if not forced:
+            return
+        lane = seq.lane
+        base = int(self.context_lens[lane])
+        for fid in forced:
+            self._emit(seq, fid)  # may finish (stop token or length)
+            if seq.status != SeqStatus.DECODING:
+                return
+        if machine.is_complete:
+            self._finish(seq, "stop")
+            return
+        # re-arm the prefill path: [sampled tok, *forced] need KV writes at
+        # base..base+len-2; the final forced token becomes the wake input
+        seq.pending = [tok] + forced
+        seq.pending_base = base
+        seq.prefill_pos = 0
+        seq.status = SeqStatus.PREFILLING
+        self.done[lane] = True  # frozen until its wake step
 
     def _emit(self, seq: Sequence, tok: int):
         seq.output_ids.append(tok)

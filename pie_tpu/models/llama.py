@@ -527,6 +527,7 @@ class LlamaModel:
         """
         from pie_tpu.cache import paged as paged_mod
         from pie_tpu.ops.paged_attention import (
+            decode_kernel_supported,
             paged_attention_decode,
             paged_attention_xla,
         )
@@ -534,6 +535,9 @@ class LlamaModel:
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        use_kernel = use_kernel and decode_kernel_supported(
+            dh, hkv, pool.quantized
+        )
         h = self.embed(params, input_ids)
         b, t = h.shape[0], h.shape[1]
         decode = t == 1
@@ -702,6 +706,7 @@ class LlamaModel:
         """
         from pie_tpu.cache import paged as paged_mod
         from pie_tpu.ops.paged_attention import (
+            decode_kernel_supported,
             paged_attention_decode,
             paged_attention_xla,
         )
@@ -709,6 +714,9 @@ class LlamaModel:
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        use_kernel = use_kernel and decode_kernel_supported(
+            dh, hkv, pool.quantized
+        )
         b = dec_tokens.shape[0]
         cs = pf_ids.shape[0]
         m = b + cs

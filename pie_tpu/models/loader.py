@@ -67,13 +67,22 @@ def resolve_model_path(model_path: str | Path) -> Path:
                 f"{s} is not a local path and huggingface_hub is unavailable"
             ) from e
         logger.info("downloading model snapshot %s from the HF hub", s)
-        return Path(snapshot_download(
-            repo_id=s,
-            allow_patterns=[
-                "*.safetensors", "*.json", "*.gguf",
-                "tokenizer.model", "*.txt",
-            ],
-        ))
+        try:
+            return Path(snapshot_download(
+                repo_id=s,
+                allow_patterns=[
+                    "*.safetensors", "*.json", "*.gguf",
+                    "tokenizer.model", "*.txt",
+                ],
+            ))
+        except Exception as e:
+            # a typo'd RELATIVE local path (e.g. "models/llama-3b") also
+            # looks like a repo id; name both interpretations instead of
+            # surfacing a bare hub error
+            raise FileNotFoundError(
+                f"{s!r} is neither an existing local path nor a "
+                f"downloadable HF hub repo id ({type(e).__name__}: {e})"
+            ) from e
     raise FileNotFoundError(f"model path {s} does not exist")
 
 

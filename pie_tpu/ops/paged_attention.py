@@ -48,6 +48,24 @@ from pie_tpu.cache.paged import PAGE_SIZE, fold_for, unpermute_page_scales
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def decode_kernel_supported(d: int, hkv: int, quantized: bool) -> bool:
+    """True when the Pallas decode kernel's Mosaic DMA layout constraints
+    hold for this geometry; callers must route to ``paged_attention_xla``
+    otherwise. Two constraints:
+
+    - the folded K/V page rows must be 128-lane aligned: fold_for(d)*d % 128
+      (fails for head_dim like 80 or 96 that neither divides nor is a
+      multiple of 128);
+    - the flat per-page scale view DMA'd for int8 pools is [1, Hkv*PAGE];
+      its minor dim must also be a 128 multiple (fails for MQA Hkv=1 where
+      Hkv*64 == 64)."""
+    if (fold_for(d) * d) % 128 != 0:
+        return False
+    if quantized and (hkv * PAGE_SIZE) % 128 != 0:
+        return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # XLA reference implementation (tests / CPU fallback)
 # ---------------------------------------------------------------------------

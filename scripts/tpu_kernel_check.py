@@ -8,7 +8,10 @@ reference. Exits non-zero on compile failure or mismatch.
 Usage: python scripts/tpu_kernel_check.py
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
