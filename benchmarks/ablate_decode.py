@@ -16,7 +16,6 @@ ABLATIONS = [
     "",
     "noattn",
     "norope",
-    "nocache,norope",
     "noproc",
     "nosample",
     "noproc,nosample",
@@ -55,10 +54,16 @@ def main():
     args = ap.parse_args()
     results = {}
     for ab in ABLATIONS:
-        out = subprocess.run(
-            [sys.executable, "-c", CHILD, args.model, ab],
-            env=dict(os.environ), capture_output=True, text=True, timeout=900,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", CHILD, args.model, ab],
+                env=dict(os.environ), capture_output=True, text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"{ab or 'full':>24}: TIMEOUT", flush=True)
+            results[ab or "full"] = None
+            continue
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
         try:
             tok = json.loads(line)["tok_s"]

@@ -7,4 +7,9 @@ containers with fixed capacities (TPU static shapes) instead of growable
 per-request cache objects.
 """
 
-from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, make_kv_cache
+from pie_tpu.cache.kv_cache import (
+    DualKVCache,
+    KVCache,
+    QuantizedKVCache,
+    make_kv_cache,
+)

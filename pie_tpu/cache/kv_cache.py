@@ -75,20 +75,45 @@ class KVCache:
             return positions
         return positions % self.capacity
 
-    def advance(self, first_pos: jax.Array, num_tokens: int) -> "KVCache":
+    def advance(
+        self, first_pos: jax.Array, num_tokens: int, valid_lens=None
+    ) -> "KVCache":
         """Return cache metadata updated for ``num_tokens`` written starting
         at per-sequence global position ``first_pos`` [B]. (k/v arrays are
-        updated inside the model forward; this updates bookkeeping.)"""
+        updated inside the model forward; this updates bookkeeping.)
+
+        ``valid_lens`` [B]: real tokens per row in this chunk (the rest are
+        bucket pads). Rotating caches MUST be told — a pad slot aliases a
+        live slot once positions wrap, and recording the pad would scrub a
+        real entry's metadata. Contiguous caches only gain precision (pads
+        beyond valid_lens are not recorded, so trim_to has nothing to undo).
+        """
         b, s = self.slot_positions.shape
         new_pos = first_pos[:, None] + jnp.arange(num_tokens)[None, :]
         slots = self.write_slot(new_pos)
+        drop = None
+        if valid_lens is not None:
+            drop = jnp.arange(num_tokens)[None, :] >= valid_lens[:, None]
+        if self.window is not None and num_tokens > 1:
+            # rotating: a chunk longer than capacity self-aliases; only the
+            # last ``capacity`` valid tokens may record their slots
+            end = first_pos + (
+                valid_lens if valid_lens is not None else num_tokens
+            )
+            stale = new_pos < (end - self.capacity)[:, None]
+            drop = stale if drop is None else (drop | stale)
+        if drop is not None:
+            slots = jnp.where(drop, s, slots)  # out of bounds -> dropped
         slot_positions = self.slot_positions.at[
             jnp.arange(b)[:, None], slots
-        ].set(new_pos)
+        ].set(new_pos, mode="drop")
+        end_len = first_pos + (
+            valid_lens if valid_lens is not None else num_tokens
+        )
         return dataclasses.replace(
             self,
             slot_positions=slot_positions,
-            length=jnp.maximum(self.length, first_pos + num_tokens),
+            length=jnp.maximum(self.length, end_len),
         )
 
     def trim_to(self, length: jax.Array) -> "KVCache":
@@ -147,10 +172,59 @@ class QuantizedKVCache:
             window=window,
         )
 
-    capacity = KVCache.capacity
+    @property
+    def capacity(self) -> int:
+        return self.k_q.shape[2]
+
     write_slot = KVCache.write_slot
     advance = KVCache.advance
     trim_to = KVCache.trim_to
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("sliding", "full"),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class DualKVCache:
+    """Two cache groups for models that interleave sliding-window and
+    global-attention layers (gemma-3's 5:1 pattern): the sliding group's
+    storage is bounded at the window size — the rotating-buffer memory bound
+    of the reference's RotatingKVCache (cache/kv_cache/rotating.py:115-167)
+    with XLA-static shapes — while only the global group pays max_len.
+
+    ``sliding``: KVCache/QuantizedKVCache with L = #sliding layers,
+    capacity = min(window, max_len), window set (rotating slots).
+    ``full``: same class with L = #global layers, capacity = max_len.
+    """
+
+    sliding: object
+    full: object
+
+    @property
+    def window(self):
+        return self.sliding.window
+
+    @property
+    def slot_positions(self):  # engine bookkeeping looks at the full group
+        return self.full.slot_positions
+
+    @property
+    def length(self):
+        return self.full.length
+
+    def advance(self, first_pos, num_tokens, valid_lens=None):
+        return DualKVCache(
+            sliding=self.sliding.advance(first_pos, num_tokens, valid_lens),
+            full=self.full.advance(first_pos, num_tokens, valid_lens),
+        )
+
+    def trim_to(self, length):
+        return DualKVCache(
+            sliding=self.sliding.trim_to(length),
+            full=self.full.trim_to(length),
+        )
 
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -194,6 +268,11 @@ def maybe_quantize(
     maybe_quantize: convert-after-threshold for long contexts)."""
     import numpy as np
 
+    if isinstance(cache, DualKVCache):
+        return DualKVCache(
+            sliding=maybe_quantize(cache.sliding, threshold_tokens),
+            full=maybe_quantize(cache.full, threshold_tokens),
+        )
     if isinstance(cache, QuantizedKVCache):
         return cache
     if int(np.max(np.asarray(cache.length))) < threshold_tokens:

@@ -20,11 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache
+from pie_tpu.cache.kv_cache import DualKVCache, KVCache, QuantizedKVCache
 
 logger = logging.getLogger(__name__)
 
 _CACHE_CLASSES = {"KVCache": KVCache, "QuantizedKVCache": QuantizedKVCache}
+_DUAL_GROUPS = ("sliding", "full")
 
 
 def common_prefix_len(a: Sequence[int], b: Sequence[int]) -> int:
@@ -92,25 +93,48 @@ class PromptCache:
 # ---------------------------------------------------------------------------
 
 
+def _collect_tensors(cache, tensors, meta, prefix=""):
+    for f in dataclasses.fields(cache):
+        v = getattr(cache, f.name)
+        if isinstance(v, (jax.Array, np.ndarray)):
+            name = prefix + f.name
+            tensors[name] = np.asarray(
+                v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+            )
+            if v.dtype == jnp.bfloat16:
+                meta.setdefault("bf16_fields", []).append(name)
+
+
 def save_cache(cache, path: str | Path, extra_meta: Optional[dict] = None):
     from safetensors.numpy import save_file
 
     tensors = {}
-    meta = {
-        "cache_class": type(cache).__name__,
-        "window": cache.window,
-    }
+    meta = {"cache_class": type(cache).__name__}
     if extra_meta:
         meta.update(extra_meta)
-    for f in dataclasses.fields(cache):
-        v = getattr(cache, f.name)
-        if isinstance(v, (jax.Array, np.ndarray)):
-            tensors[f.name] = np.asarray(
-                v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
-            )
-            if v.dtype == jnp.bfloat16:
-                meta.setdefault("bf16_fields", []).append(f.name)
+    if isinstance(cache, DualKVCache):
+        for group in _DUAL_GROUPS:
+            sub = getattr(cache, group)
+            meta[group + "_class"] = type(sub).__name__
+            meta[group + "_window"] = sub.window
+            _collect_tensors(sub, tensors, meta, group + ".")
+    else:
+        meta["window"] = cache.window
+        _collect_tensors(cache, tensors, meta)
     save_file(tensors, str(path), metadata={"pie": json.dumps(meta)})
+
+
+def _build_cache(cls, data, bf16, window, prefix=""):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        name = prefix + f.name
+        if name in data:
+            arr = jnp.asarray(data[name])
+            if name in bf16:
+                arr = arr.astype(jnp.bfloat16)
+            kwargs[f.name] = arr
+    kwargs["window"] = window
+    return cls(**kwargs)
 
 
 def load_cache(path: str | Path):
@@ -120,14 +144,15 @@ def load_cache(path: str | Path):
     with safe_open(str(path), framework="np") as f:
         meta = json.loads((f.metadata() or {}).get("pie", "{}"))
     data = load_file(str(path))
-    cls = _CACHE_CLASSES[meta.get("cache_class", "KVCache")]
     bf16 = set(meta.get("bf16_fields", []))
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name in data:
-            arr = jnp.asarray(data[f.name])
-            if f.name in bf16:
-                arr = arr.astype(jnp.bfloat16)
-            kwargs[f.name] = arr
-    kwargs["window"] = meta.get("window")
-    return cls(**kwargs), meta
+    if meta.get("cache_class") == "DualKVCache":
+        groups = {
+            g: _build_cache(
+                _CACHE_CLASSES[meta.get(g + "_class", "KVCache")],
+                data, bf16, meta.get(g + "_window"), g + ".",
+            )
+            for g in _DUAL_GROUPS
+        }
+        return DualKVCache(**groups), meta
+    cls = _CACHE_CLASSES[meta.get("cache_class", "KVCache")]
+    return _build_cache(cls, data, bf16, meta.get("window")), meta

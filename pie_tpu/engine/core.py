@@ -134,16 +134,27 @@ class EngineCore:
 
     def new_state(self, seed: int = 0) -> DecodeState:
         cfg = self.model.config
-        cache = make_kv_cache(
-            cfg.num_hidden_layers,
-            self.batch_size,
-            self.max_seq_len,
-            cfg.num_key_value_heads,
-            cfg.resolved_head_dim,
-            dtype=self.kv_dtype,
-            window=self.kv_window,
-            quantized=self.kv_quantized,
-        )
+        if hasattr(self.model, "make_cache"):
+            # model-specific cache layout (e.g. gemma-3's bounded dual
+            # sliding/global groups)
+            cache = self.model.make_cache(
+                self.batch_size,
+                self.max_seq_len,
+                dtype=self.kv_dtype,
+                window=self.kv_window,
+                quantized=self.kv_quantized,
+            )
+        else:
+            cache = make_kv_cache(
+                cfg.num_hidden_layers,
+                self.batch_size,
+                self.max_seq_len,
+                cfg.num_key_value_heads,
+                cfg.resolved_head_dim,
+                dtype=self.kv_dtype,
+                window=self.kv_window,
+                quantized=self.kv_quantized,
+            )
         b = self.batch_size
         return DecodeState(
             cache=cache,
@@ -192,9 +203,10 @@ class EngineCore:
         """Run the prompt through the model, sample the first new token."""
         b, t = input_ids.shape
         positions = first_pos[:, None] + jnp.arange(t)[None, :]
-        cache = state.cache.advance(first_pos, t)
+        cache = state.cache.advance(first_pos, t, valid_lens=prompt_lens)
         logits, cache = self.model(
-            params, input_ids, cache, positions, inputs_embeds=inputs_embeds
+            params, input_ids, cache, positions, inputs_embeds=inputs_embeds,
+            valid_lens=prompt_lens,
         )
         cache = cache.trim_to(first_pos + prompt_lens)
 

@@ -227,6 +227,10 @@ class InferenceEngine:
             raise InferenceError("prompt exceeds engine max_seq_len")
         first_pos = self.prompt_cache.reuse_prefix(prompt_ids)
         suffix = prompt_ids[first_pos:]
+        suffix, first_pos, _ = self._prefill_head_chunks(
+            suffix, first_pos, self._sampling({}), self._penalties({}),
+            *self._empty_bias, "auto",
+        )
         slen = len(suffix)
         bucket = _bucket(
             slen,
@@ -245,22 +249,76 @@ class InferenceEngine:
         self.prompt_cache.update(prompt_ids)
         return self.prompt_cache.save_prompt(prompt_ids, state.cache)
 
+    def _prefill_head_chunks(
+        self, suffix, first_pos, sampling, penalties, bias_ids, bias_vals,
+        skind, inputs_embeds=None,
+    ):
+        """Split a long prompt into sequential prefill chunks when the model
+        bounds how many tokens one forward may write (gemma-3's rotating
+        sliding-window store: a chunk larger than the window self-aliases;
+        see Gemma3Model.prefill_chunk_bound). Runs every chunk except the
+        tail (whose sampling the caller owns) and returns the remaining
+        (suffix, first_pos, inputs_embeds-for-tail)."""
+        bound = getattr(self.model, "prefill_chunk_bound", None)
+        if bound is None or len(suffix) <= bound:
+            return suffix, first_pos, inputs_embeds
+        # largest standard bucket under the bound (shares compiled prefill
+        # programs); a sub-bucket bound is itself the chunk size — one extra
+        # compile, constant per model
+        csize = max(
+            (b for b in PREFILL_BUCKETS if b <= bound), default=bound
+        )
+        off = 0
+        while len(suffix) - off > csize:
+            cid = np.zeros((1, csize), np.int32)
+            cid[0, :] = suffix[off : off + csize]
+            emb = (
+                None
+                if inputs_embeds is None
+                else inputs_embeds[:, off : off + csize]
+            )
+            st, _, _ = self.core._prefill(
+                self.params,
+                self.state,
+                jnp.asarray(cid),
+                jnp.full((1,), csize, jnp.int32),
+                jnp.full((1,), first_pos + off, jnp.int32),
+                sampling,
+                penalties,
+                bias_ids,
+                bias_vals,
+                inputs_embeds=emb,
+                sampler_kind=skind,
+            )
+            self.state = st
+            off += csize
+        return (
+            suffix[off:],
+            first_pos + off,
+            None if inputs_embeds is None else inputs_embeds[:, off:],
+        )
+
     def _cache_compatible(self, loaded) -> bool:
         """A disk prompt-cache hit is keyed by token ids only (reference
         prompt_hash semantics); a stale file from a different model or
         engine geometry sharing the cache dir must fall back to
         recomputation instead of restoring wrong KV or crashing prefill."""
-        cur = self.state.cache
-        if type(loaded) is not type(cur):
-            return False
-        for f in dataclasses.fields(cur):
-            a, b = getattr(cur, f.name), getattr(loaded, f.name)
-            if isinstance(a, (jax.Array, np.ndarray)):
-                if not isinstance(b, (jax.Array, np.ndarray)):
-                    return False
-                if a.shape != b.shape or a.dtype != b.dtype:
-                    return False
-        return True
+        def compat(cur, other) -> bool:
+            if type(other) is not type(cur):
+                return False
+            for f in dataclasses.fields(cur):
+                a, b = getattr(cur, f.name), getattr(other, f.name)
+                if isinstance(a, (jax.Array, np.ndarray)):
+                    if not isinstance(b, (jax.Array, np.ndarray)):
+                        return False
+                    if a.shape != b.shape or a.dtype != b.dtype:
+                        return False
+                elif dataclasses.is_dataclass(a):  # DualKVCache groups
+                    if not compat(a, b):
+                        return False
+            return True
+
+        return compat(self.state.cache, loaded)
 
     # ------------------------------------------------------------------
 
@@ -328,6 +386,27 @@ class InferenceEngine:
             inputs_embeds = self._embed_images_fn(
                 self.params, jnp.asarray(ids), jnp.asarray(pixel_values)
             )
+
+        suffix, first_pos, inputs_embeds = self._prefill_head_chunks(
+            suffix, first_pos, sampling, penalties, bias_ids, bias_vals,
+            skind, inputs_embeds,
+        )
+        if len(suffix) != slen:  # rebuild the tail bucket after chunking
+            slen = len(suffix)
+            bucket = _bucket(
+                slen,
+                [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len]
+                or [self.core.max_seq_len],
+            )
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :slen] = suffix
+            if inputs_embeds is not None and inputs_embeds.shape[1] != bucket:
+                pad = bucket - inputs_embeds.shape[1]
+                inputs_embeds = (
+                    inputs_embeds[:, :bucket]
+                    if pad < 0
+                    else jnp.pad(inputs_embeds, ((0, 0), (0, pad), (0, 0)))
+                )
 
         state, token, aux = self.core._prefill(
             self.params,
@@ -566,16 +645,22 @@ class InferenceEngine:
         if plen > plen_cap:
             raise InferenceError("prompt exceeds engine max_seq_len")
         mask = build_mask()
+        head, head_pos, _ = self._prefill_head_chunks(
+            list(prompt_ids), 0, sampling, penalties, bias_ids, bias_vals,
+            skind,
+        )
+        hlen = len(head)
         bucket = _bucket(
-            plen,
+            hlen,
             [b for b in PREFILL_BUCKETS if b <= self.core.max_seq_len]
             or [self.core.max_seq_len],
         )
         ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = prompt_ids
+        ids[0, :hlen] = head
         state, token, aux = self.core._prefill(
             self.params, self.state, jnp.asarray(ids),
-            jnp.full((1,), plen, jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.full((1,), hlen, jnp.int32),
+            jnp.full((1,), head_pos, jnp.int32),
             sampling, penalties, bias_ids, bias_vals,
             allowed_mask=device_mask(mask),
             return_logprobs=logprobs, sampler_kind=skind,

@@ -21,12 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, dequantize_kv, quantize_kv
+from pie_tpu.cache.kv_cache import (
+    DualKVCache,
+    KVCache,
+    QuantizedKVCache,
+    quantize_kv,
+)
 from pie_tpu.models.config import BaseConfig, _filter_kwargs
 from pie_tpu.models.registry import register_model
-from pie_tpu.ops.attention import attention_mask, sdpa
+from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
 from pie_tpu.ops.rope import make_inv_freq
-from pie_tpu.models.llama import linear
+from pie_tpu.models.llama import _dyn, linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +90,17 @@ def _rope(x, positions, inv_freq):
     return apply_rope(x, positions, inv_freq)
 
 
+def _rope_tables2(model, positions):
+    """Both rope-base tables (local + global), hoisted out of the layer
+    scan — positions are layer-invariant (see ops/rope.py:rope_tables)."""
+    from pie_tpu.ops.rope import rope_tables
+
+    return (
+        rope_tables(positions, model.inv_freq_local),
+        rope_tables(positions, model.inv_freq_global),
+    )
+
+
 @register_model("gemma3")
 class Gemma3Model:
     """Gemma-3 decoder (+optional vision)."""
@@ -108,8 +124,43 @@ class Gemma3Model:
             [(i + 1) % pat != 0 for i in range(config.num_hidden_layers)],
             dtype=bool,
         )
+        # layer id -> row within its cache group's store (DualKVCache)
+        self.sliding_row = np.maximum(np.cumsum(self.is_sliding) - 1, 0)
+        self.global_row = np.maximum(np.cumsum(~self.is_sliding) - 1, 0)
         self.vision = (
             SigLipVision(config.vision) if config.vision else None
+        )
+
+    @property
+    def prefill_chunk_bound(self) -> int:
+        """Longest prompt chunk one forward may write: a chunk larger than
+        the rotating sliding-window store self-aliases (early in-chunk
+        queries would read already-evicted KV). The engine splits longer
+        prompts into sequential prefill calls (reference RotatingKVCache's
+        step-bounded growth, cache/kv_cache/rotating.py:115-167)."""
+        return self.config.sliding_window
+
+    def make_cache(
+        self, batch: int, max_len: int, dtype=jnp.bfloat16,
+        window=None, quantized: bool = False,
+    ):
+        """Bounded dual-group cache: sliding layers store only the last
+        ``sliding_window`` tokens (rotating slots); global layers store
+        ``max_len``. 5-of-6 gemma-3 layers pay window, not max_len."""
+        cfg = self.config
+        ns = int(self.is_sliding.sum())
+        ng = cfg.num_hidden_layers - ns
+        wcap = min(cfg.sliding_window, max_len)
+        cls = QuantizedKVCache if quantized else KVCache
+        return DualKVCache(
+            sliding=cls.create(
+                ns, batch, wcap, cfg.num_key_value_heads, cfg.head_dim,
+                dtype, window=wcap,
+            ),
+            full=cls.create(
+                ng, batch, max_len, cfg.num_key_value_heads, cfg.head_dim,
+                dtype, window=None,
+            ),
         )
 
     # -- params ----------------------------------------------------------
@@ -255,7 +306,7 @@ class Gemma3Model:
     # -- forward ----------------------------------------------------------
 
     def __call__(self, params, input_ids, cache, positions,
-                 inputs_embeds=None, pixel_values=None):
+                 inputs_embeds=None, pixel_values=None, valid_lens=None):
         cfg = self.config
         dh = cfg.head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -265,6 +316,10 @@ class Gemma3Model:
             )
         h = inputs_embeds
         b, t = h.shape[0], h.shape[1]
+        if isinstance(cache, DualKVCache):
+            return self._dual_forward(
+                params, h, cache, positions, valid_lens
+            )
         quantized = isinstance(cache, QuantizedKVCache)
         # both masks; per-layer select via is_sliding
         full_mask = attention_mask(positions, cache.slot_positions, None)
@@ -276,6 +331,9 @@ class Gemma3Model:
         scale = float(cfg.query_pre_attn_scalar) ** -0.5
         eps = cfg.rms_norm_eps
         is_sliding = jnp.asarray(self.is_sliding)
+        from pie_tpu.ops.rope import apply_rope_tables
+
+        (cos_l, sin_l), (cos_g, sin_g) = _rope_tables2(self, positions)
 
         def layer_fn(h, layer):
             p, sliding = layer[0], layer[1]
@@ -285,13 +343,12 @@ class Gemma3Model:
             v = linear(x, p["wv"]).reshape(b, t, hkv, dh)
             q = _gemma_rms(q, p["q_norm"], eps)
             k = _gemma_rms(k, p["k_norm"], eps)
-            q_g = _rope(q, positions, self.inv_freq_global)
-            k_g = _rope(k, positions, self.inv_freq_global)
-            q_l = _rope(q, positions, self.inv_freq_local)
-            k_l = _rope(k, positions, self.inv_freq_local)
-            q = jnp.where(sliding, q_l, q_g)
-            k = jnp.where(sliding, k_l, k_g)
+            cos = jnp.where(sliding, cos_l, cos_g)
+            sin = jnp.where(sliding, sin_l, sin_g)
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
 
+            mask = jnp.where(sliding, win_mask, full_mask)
             if quantized:
                 ckq, cks, cvq, cvs = layer[2:]
                 kq, ksc = quantize_kv(k)
@@ -300,17 +357,18 @@ class Gemma3Model:
                 cks = cks.at[batch_idx, write_slots].set(ksc)
                 cvq = cvq.at[batch_idx, write_slots].set(vq)
                 cvs = cvs.at[batch_idx, write_slots].set(vsc)
-                ck = dequantize_kv(ckq, cks, q.dtype)
-                cv = dequantize_kv(cvq, cvs, q.dtype)
+                # attend directly on the int8 store (scales factor out of
+                # the dots) — no dequantized cache copy is materialized
+                attn = sdpa_quantized(q, ckq, cks, cvq, cvs, mask, scale)
                 new_cache = (ckq, cks, cvq, cvs)
             else:
                 ck, cv = layer[2:4]
                 ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
                 cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
                 new_cache = (ck, cv)
-
-            mask = jnp.where(sliding, win_mask, full_mask)
-            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+                attn = sdpa(
+                    q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale
+                )
             attn = _gemma_rms(
                 linear(attn.reshape(b, t, hq * dh), p["wo"]), p["ln2"], eps
             )
@@ -335,6 +393,191 @@ class Gemma3Model:
             )
         else:
             cache = dataclasses.replace(cache, k=new_store[0], v=new_store[1])
+        h = _gemma_rms(h, params["norm"], eps)
+        return self.unembed(params, h).astype(jnp.float32), cache
+
+    def _dual_forward(self, params, h, cache, positions, valid_lens):
+        """Forward over the bounded DualKVCache: sliding layers keep only a
+        window-sized rotating store; global layers a max_len store. Each
+        sliding layer attends over [store-before-write | fresh chunk K/V]
+        and THEN writes the chunk — writing first would evict tokens that
+        earlier in-chunk queries still need once positions wrap (the same
+        eviction-ordering contract as the reference's RotatingKVCache
+        update-then-trim, cache/kv_cache/rotating.py:115-167). Requires the
+        chunk length <= window capacity (engine honors
+        ``prefill_chunk_bound``)."""
+        cfg = self.config
+        dh = cfg.head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        b, t = h.shape[0], h.shape[1]
+        quantized = isinstance(cache.sliding, QuantizedKVCache)
+        wcap = cache.sliding.capacity
+        if valid_lens is None and t > wcap:
+            # with valid_lens the engine guarantees <= wcap REAL tokens per
+            # chunk (bucket pads neither write nor get recorded); without
+            # it, a longer chunk would evict KV its own earlier queries need
+            raise ValueError(
+                f"prefill chunk {t} exceeds the sliding store ({wcap}); "
+                "split the prompt (see prefill_chunk_bound)"
+            )
+        win = cfg.sliding_window
+        scale = float(cfg.query_pre_attn_scalar) ** -0.5
+        eps = cfg.rms_norm_eps
+
+        valid = (
+            jnp.ones((b, t), bool)
+            if valid_lens is None
+            else jnp.arange(t)[None, :] < valid_lens[:, None]
+        )
+        fresh_pos = jnp.where(valid, positions, -1)
+        chunk_start = positions[:, :1]
+
+        # what each sliding slot's DATA holds before this chunk's write:
+        # advance() already claimed this chunk's slots in the metadata, but
+        # the evicted token (one capacity behind) is still physically there
+        sp = cache.sliding.slot_positions
+        data_pos = jnp.where(sp >= chunk_start, sp - wcap, sp)
+        data_pos = jnp.where(data_pos >= 0, data_pos, -1)
+        mask_store = attention_mask(positions, data_pos, win)
+        mask_fresh = attention_mask(positions, fresh_pos, win)
+        mask_slide = jnp.concatenate([mask_store, mask_fresh], axis=2)
+        full_mask = attention_mask(
+            positions, cache.full.slot_positions, None
+        )
+
+        s_cap, g_cap = wcap, cache.full.capacity
+        s_slots = jnp.where(valid, positions % s_cap, s_cap)
+        g_slots = jnp.where(valid, positions, g_cap)
+        batch_idx = jnp.arange(b)[:, None]
+
+        from pie_tpu.ops.rope import apply_rope_tables
+
+        (cos_l, sin_l), (cos_g, sin_g) = _rope_tables2(self, positions)
+
+        def layer_fn(carry, xs):
+            p, sliding, si, gi = xs
+            h, stores = carry[0], carry[1]
+            x = _gemma_rms(h, p["ln1"], eps)
+            q = linear(x, p["wq"]).reshape(b, t, hq, dh)
+            k = linear(x, p["wk"]).reshape(b, t, hkv, dh)
+            v = linear(x, p["wv"]).reshape(b, t, hkv, dh)
+            q = _gemma_rms(q, p["q_norm"], eps)
+            k = _gemma_rms(k, p["k_norm"], eps)
+            cos = jnp.where(sliding, cos_l, cos_g)
+            sin = jnp.where(sliding, sin_l, sin_g)
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
+
+            if quantized:
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                fresh = (kq, ksc, vq, vsc)
+            else:
+                fresh = (k, v)
+
+            def slide_branch(st):
+                if quantized:
+                    skq, sks, svq, svs = st[:4]
+                    attn = sdpa_quantized(
+                        q,
+                        jnp.concatenate([_dyn(skq, si), kq], 1),
+                        jnp.concatenate([_dyn(sks, si), ksc], 1),
+                        jnp.concatenate([_dyn(svq, si), vq], 1),
+                        jnp.concatenate([_dyn(svs, si), vsc], 1),
+                        mask_slide, scale,
+                    )
+                    new = tuple(
+                        a.at[si, batch_idx, s_slots].set(f, mode="drop")
+                        for a, f in zip(st[:4], fresh)
+                    ) + st[4:]
+                else:
+                    sk, sv = st[:2]
+                    attn = sdpa(
+                        q,
+                        jnp.concatenate(
+                            [_dyn(sk, si).astype(q.dtype), k], 1
+                        ),
+                        jnp.concatenate(
+                            [_dyn(sv, si).astype(q.dtype), v], 1
+                        ),
+                        mask_slide, scale,
+                    )
+                    new = tuple(
+                        a.at[si, batch_idx, s_slots].set(
+                            f.astype(a.dtype), mode="drop"
+                        )
+                        for a, f in zip(st[:2], fresh)
+                    ) + st[2:]
+                return attn, new
+
+            def global_branch(st):
+                if quantized:
+                    half = 4
+                    gst = tuple(
+                        a.at[gi, batch_idx, g_slots].set(f, mode="drop")
+                        for a, f in zip(st[half:], fresh)
+                    )
+                    attn = sdpa_quantized(
+                        q, _dyn(gst[0], gi), _dyn(gst[1], gi),
+                        _dyn(gst[2], gi), _dyn(gst[3], gi),
+                        full_mask, scale,
+                    )
+                    return attn, st[:half] + gst
+                half = 2
+                gst = tuple(
+                    a.at[gi, batch_idx, g_slots].set(
+                        f.astype(a.dtype), mode="drop"
+                    )
+                    for a, f in zip(st[half:], fresh)
+                )
+                attn = sdpa(
+                    q, _dyn(gst[0], gi).astype(q.dtype),
+                    _dyn(gst[1], gi).astype(q.dtype), full_mask, scale,
+                )
+                return attn, st[:half] + gst
+
+            attn, stores = jax.lax.cond(
+                sliding, slide_branch, global_branch, stores
+            )
+            attn = _gemma_rms(
+                linear(attn.reshape(b, t, hq * dh), p["wo"]), p["ln2"], eps
+            )
+            h = h + attn
+            x = _gemma_rms(h, p["ln3"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            mlp = linear(jax.nn.gelu(g, approximate=True) * u, p["wd"])
+            h = h + _gemma_rms(mlp, p["ln4"], eps)
+            return (h, stores), None
+
+        s, f = cache.sliding, cache.full
+        if quantized:
+            stores0 = (
+                s.k_q, s.k_scale, s.v_q, s.v_scale,
+                f.k_q, f.k_scale, f.v_q, f.v_scale,
+            )
+        else:
+            stores0 = (s.k, s.v, f.k, f.v)
+        xs = (
+            params["layers"],
+            jnp.asarray(self.is_sliding),
+            jnp.asarray(self.sliding_row),
+            jnp.asarray(self.global_row),
+        )
+        (h, stores), _ = jax.lax.scan(layer_fn, (h, stores0), xs)
+        if quantized:
+            s = dataclasses.replace(
+                s, k_q=stores[0], k_scale=stores[1],
+                v_q=stores[2], v_scale=stores[3],
+            )
+            f = dataclasses.replace(
+                f, k_q=stores[4], k_scale=stores[5],
+                v_q=stores[6], v_scale=stores[7],
+            )
+        else:
+            s = dataclasses.replace(s, k=stores[0], v=stores[1])
+            f = dataclasses.replace(f, k=stores[2], v=stores[3])
+        cache = DualKVCache(sliding=s, full=f)
         h = _gemma_rms(h, params["norm"], eps)
         return self.unembed(params, h).astype(jnp.float32), cache
 

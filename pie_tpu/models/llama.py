@@ -32,7 +32,12 @@ from pie_tpu.models.config import BaseConfig, _filter_kwargs
 from pie_tpu.models.registry import register_model
 from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
 from pie_tpu.ops.quant import QuantizedTensor, quantized_matmul
-from pie_tpu.ops.rope import RopeScalingConfig, apply_rope, make_inv_freq
+from pie_tpu.ops.rope import (
+    RopeScalingConfig,
+    apply_rope_tables,
+    make_inv_freq,
+    rope_tables,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -375,6 +380,7 @@ class LlamaModel:
         cache,
         positions: jax.Array,
         inputs_embeds: Optional[jax.Array] = None,
+        valid_lens: Optional[jax.Array] = None,
     ):
         """Forward pass writing this chunk's K/V into a fixed-capacity cache.
 
@@ -394,8 +400,15 @@ class LlamaModel:
         quantized = isinstance(cache, QuantizedKVCache)
         mask = attention_mask(positions, cache.slot_positions, cache.window)
         write_slots = cache.write_slot(positions)  # [B, T]
+        if valid_lens is not None and cache.window is not None:
+            # rotating slots alias once positions wrap: bucket-pad tokens
+            # must not overwrite live entries (contiguous slots are safe --
+            # pads land beyond the prompt and are re-written later)
+            valid = jnp.arange(t)[None, :] < valid_lens[:, None]
+            write_slots = jnp.where(valid, write_slots, cache.capacity)
         batch_idx = jnp.arange(b)[:, None]
-        inv_freq = self.inv_freq
+        # rope tables hoisted out of the layer scan (see ops/rope.py)
+        cos, sin = rope_tables(positions, self.inv_freq)
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
 
@@ -410,8 +423,8 @@ class LlamaModel:
             x = rms_norm(h, _dyn(p["ln1"], i), eps)
             q, k, v = self._attn_proj(p, x, b, t, layer=i)
             if "norope" not in _abl:
-                q = apply_rope(q, positions, inv_freq)
-                k = apply_rope(k, positions, inv_freq)
+                q = apply_rope_tables(q, cos, sin)
+                k = apply_rope_tables(k, cos, sin)
 
             if "nocache" in _abl:
                 attn = q
@@ -426,10 +439,18 @@ class LlamaModel:
             if quantized:
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                ckq_all = ckq_all.at[i, batch_idx, write_slots].set(kq)
-                cks_all = cks_all.at[i, batch_idx, write_slots].set(ks)
-                cvq_all = cvq_all.at[i, batch_idx, write_slots].set(vq)
-                cvs_all = cvs_all.at[i, batch_idx, write_slots].set(vs)
+                ckq_all = ckq_all.at[i, batch_idx, write_slots].set(
+                    kq, mode="drop"
+                )
+                cks_all = cks_all.at[i, batch_idx, write_slots].set(
+                    ks, mode="drop"
+                )
+                cvq_all = cvq_all.at[i, batch_idx, write_slots].set(
+                    vq, mode="drop"
+                )
+                cvs_all = cvs_all.at[i, batch_idx, write_slots].set(
+                    vs, mode="drop"
+                )
             elif cache.window is None:
                 # contiguous slots: per-sequence dynamic_update_slice
                 # lowers much better than a general scatter on TPU
@@ -450,10 +471,10 @@ class LlamaModel:
                 cv = _dyn(cv_all, i)
             else:
                 ck_all = ck_all.at[i, batch_idx, write_slots].set(
-                    k.astype(ck_all.dtype)
+                    k.astype(ck_all.dtype), mode="drop"
                 )
                 cv_all = cv_all.at[i, batch_idx, write_slots].set(
-                    v.astype(cv_all.dtype)
+                    v.astype(cv_all.dtype), mode="drop"
                 )
                 ck = _dyn(ck_all, i)
                 cv = _dyn(cv_all, i)
@@ -541,7 +562,7 @@ class LlamaModel:
         h = self.embed(params, input_ids)
         b, t = h.shape[0], h.shape[1]
         decode = t == 1
-        inv_freq = self.inv_freq
+        cos, sin = rope_tables(positions, self.inv_freq)
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         quantized = pool.quantized
@@ -575,8 +596,8 @@ class LlamaModel:
                 h, apk, apv = carry
             x = rms_norm(h, _dyn(lp["ln1"], i), eps)
             q, k, v = self._attn_proj(lp, x, b, t, layer=i)
-            q = apply_rope(q, positions, inv_freq)
-            k = apply_rope(k, positions, inv_freq)
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
 
             # pool is head-major [L, P, Hkv, PAGE, D]; the advanced indices
             # around the head slice keep values in natural [B, T, Hkv, ...]
@@ -720,7 +741,6 @@ class LlamaModel:
         b = dec_tokens.shape[0]
         cs = pf_ids.shape[0]
         m = b + cs
-        inv_freq = self.inv_freq
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         quantized = pool.quantized
@@ -728,6 +748,7 @@ class LlamaModel:
 
         flat_ids = jnp.concatenate([dec_tokens, pf_ids])  # [M]
         positions = jnp.concatenate([dec_positions, pf_positions])  # [M]
+        cos, sin = rope_tables(positions[None], self.inv_freq)
         h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
 
         # physical page + slot per flat token
@@ -763,8 +784,8 @@ class LlamaModel:
                 h, apk, apv = carry
             x = rms_norm(h, _dyn(lp["ln1"], i), eps)
             q, k, v = self._attn_proj(lp, x, 1, m, layer=i)  # [1, M, H, dh]
-            q = apply_rope(q, positions[None], inv_freq)
-            k = apply_rope(k, positions[None], inv_freq)
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
 
             if quantized:
                 kq, ks = quantize_kv(k[0])

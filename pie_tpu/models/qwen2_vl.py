@@ -199,7 +199,7 @@ class Qwen2VLModel:
 
     def __call__(self, params, input_ids, cache, positions,
                  inputs_embeds=None, pixel_values=None, grid_thw=None,
-                 positions3=None):
+                 positions3=None, valid_lens=None):
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads

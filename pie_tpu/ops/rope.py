@@ -69,6 +69,31 @@ def make_inv_freq(
     return inv_freq.astype(np.float32)
 
 
+def rope_tables(
+    positions: jax.Array, inv_freq: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables [B, T, 1, D/2] for ``positions`` [B, T].
+
+    Positions are identical for every decoder layer, so the hot loops
+    compute these ONCE per step and pass them into the layer scan — the
+    per-layer sin/cos recompute showed up as ~1.2 ms/token on the 8B decode
+    ablation (norope saved 13% of the step; XLA does not hoist the
+    transcendentals out of the scan body)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
+    return jnp.cos(freqs)[..., None, :], jnp.sin(freqs)[..., None, :]
+
+
+def apply_rope_tables(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """Rotate q or k with precomputed tables (split-half convention)."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
 def apply_rope(
     x: jax.Array, positions: jax.Array, inv_freq: jax.Array
 ) -> jax.Array:
@@ -77,11 +102,5 @@ def apply_rope(
     x: [B, T, H, D]; positions: [B, T] int32; inv_freq: [D//2] f32.
     Returns same shape/dtype as x.
     """
-    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
-    cos = jnp.cos(freqs)[..., None, :]  # [B, T, 1, D/2]
-    sin = jnp.sin(freqs)[..., None, :]
-    d2 = x.shape[-1] // 2
-    x1 = x[..., :d2].astype(jnp.float32)
-    x2 = x[..., d2:].astype(jnp.float32)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.astype(x.dtype)
+    cos, sin = rope_tables(positions, inv_freq)
+    return apply_rope_tables(x, cos, sin)

@@ -1,0 +1,153 @@
+"""Gemma-3 bounded dual-group KV cache (DualKVCache): the sliding layers'
+storage is capped at the window size (round-2 verdict weak: full max_len
+buffers for 5-of-6 sliding layers), and the dual path must produce the SAME
+outputs as the legacy full-length path, which masks instead of bounding.
+Reference semantics: cache/kv_cache/rotating.py:115-167 (RotatingKVCache)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pie_tpu.cache.kv_cache import DualKVCache, KVCache, QuantizedKVCache
+from pie_tpu.models.gemma3 import Gemma3Config, Gemma3Model
+
+TINY = dict(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=7,  # 6 sliding + 1 global (pattern 6)
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    vocab_size=256,
+    rms_norm_eps=1e-6,
+    rope_theta=1000000.0,
+    rope_local_base_freq=10000.0,
+    sliding_window=8,
+    sliding_window_pattern=6,
+    query_pre_attn_scalar=16,
+    max_position_embeddings=128,
+)
+
+MAX_LEN = 48  # 6x the window: the rotating store wraps many times
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Gemma3Config.from_dict(dict(TINY, model_type="gemma3_text"))
+    model = Gemma3Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(7), dtype=jnp.float32)
+    return model, params
+
+
+def _legacy_cache(model, b):
+    cfg = model.config
+    return KVCache.create(
+        cfg.num_hidden_layers, b, MAX_LEN, cfg.num_key_value_heads,
+        cfg.head_dim, jnp.float32,
+    )
+
+
+def _run(model, params, cache, prompt, steps):
+    """Prefill ``prompt`` then greedy-decode ``steps`` tokens; returns all
+    logits rows. Prefill chunks respect the sliding store for dual caches."""
+    b = 1
+    ids = np.asarray(prompt, np.int32)[None]
+    bound = (
+        model.config.sliding_window
+        if isinstance(cache, DualKVCache)
+        else ids.shape[1]
+    )
+    logits = None
+    off = 0
+    while off < ids.shape[1]:
+        chunk = ids[:, off : off + bound]
+        t = chunk.shape[1]
+        first = jnp.full((b,), off, jnp.int32)
+        positions = first[:, None] + jnp.arange(t)[None, :]
+        cache = cache.advance(first, t)
+        logits, cache = model(params, jnp.asarray(chunk), cache, positions)
+        off += t
+    outs = [logits[:, -1]]
+    pos = ids.shape[1]
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    for _ in range(steps):
+        first = jnp.full((b,), pos, jnp.int32)
+        cache = cache.advance(first, 1)
+        logits, cache = model(
+            params, tok[:, None], cache, first[:, None]
+        )
+        outs.append(logits[:, 0])
+        tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        pos += 1
+    return np.stack([np.asarray(o) for o in outs], 1)
+
+
+def test_dual_matches_legacy_past_window(setup):
+    """Decoding far past the sliding window: the bounded dual cache must
+    match the legacy full-length cache (which masks instead of evicting)."""
+    model, params = setup
+    prompt = list(range(1, 13))  # longer than window=8 -> chunked prefill
+    legacy = _run(model, params, _legacy_cache(model, 1), prompt, 24)
+    dual = _run(
+        model, params,
+        model.make_cache(1, MAX_LEN, dtype=jnp.float32),
+        prompt, 24,
+    )
+    np.testing.assert_allclose(legacy, dual, rtol=2e-4, atol=2e-4)
+
+
+def test_sliding_store_is_window_bounded(setup):
+    """The memory bound itself: sliding-group storage is window-sized, not
+    max_len-sized, and only the global group pays max_len."""
+    model, _ = setup
+    cache = model.make_cache(1, MAX_LEN, dtype=jnp.float32)
+    w = model.config.sliding_window
+    ns = int(model.is_sliding.sum())
+    assert cache.sliding.k.shape == (ns, 1, w, 2, 16)
+    assert cache.full.k.shape == (
+        model.config.num_hidden_layers - ns, 1, MAX_LEN, 2, 16,
+    )
+
+
+def test_dual_quantized_close_to_f32(setup):
+    """INT8 dual cache follows the same path (direct int8 attend) and stays
+    close to the f32 reference."""
+    model, params = setup
+    prompt = list(range(1, 10))
+    ref = _run(
+        model, params, model.make_cache(1, MAX_LEN, dtype=jnp.float32),
+        prompt, 8,
+    )
+    q = _run(
+        model, params,
+        model.make_cache(1, MAX_LEN, quantized=True),
+        prompt, 8,
+    )
+    # int8 KV quantization noise; logits agreement is the gate
+    assert np.max(np.abs(ref - q)) < 0.35
+    assert np.mean(np.abs(ref - q)) < 0.05
+
+
+def test_engine_chunked_prefill_gemma3(setup):
+    """InferenceEngine splits a longer-than-window prompt into sequential
+    prefill chunks for dual-cache models and still matches the legacy
+    single-shot result."""
+    from pie_tpu.engine import InferenceEngine
+
+    model, params = setup
+    engine = InferenceEngine(
+        model=model, params=params, max_seq_len=MAX_LEN,
+        kv_dtype=jnp.float32, decode_chunk=4, prompt_cache=False,
+    )
+    assert isinstance(engine.state.cache, DualKVCache)
+    prompt = list(range(1, 21))  # > 2x window
+    res = engine.generate(prompt, max_completion_tokens=10, temperature=0.0)
+    assert len(res.token_ids) == 10
+
+    # ground truth from the raw legacy forward
+    legacy = _run(model, params, _legacy_cache(model, 1), prompt, 9)
+    want = np.argmax(legacy, -1)[0].tolist()
+    assert res.token_ids == want
