@@ -233,6 +233,7 @@ class BatchedInferenceEngine:
         the batched path."""
         if not prompt_ids:
             raise InferenceError("empty prompt")
+        state_kwargs = kwargs.pop("state_kwargs", None) or {}
         masker = self.token_masker
         self.start()
         out_q: queue.Queue = queue.Queue()
@@ -250,6 +251,7 @@ class BatchedInferenceEngine:
             frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
             machine=machine.copy(),
             masker=masker,
+            state_kwargs=state_kwargs,
         )
         seq._out_q = out_q
         seq.on_finish = lambda s: out_q.put(_SENTINEL)

@@ -580,6 +580,7 @@ class InferenceEngine:
         machine = machine.copy()
         v = self.model.config.vocab_size
         plen = len(prompt_ids)
+        state_kwargs = kwargs.pop("state_kwargs", None) or {}
         sampling = self._sampling(kwargs)
         penalties = self._penalties(kwargs)
         bias_ids, bias_vals = self._bias(kwargs)
@@ -590,6 +591,24 @@ class InferenceEngine:
             sampling.temperature, sampling.top_p, sampling.min_p,
             sampling.top_k,
         )
+
+        def resolve_params():
+            """Sampler parameters for the CURRENT machine state: composite
+            machines (reasoning+tool_call) key per-state overrides off
+            active_names() at each choice point, so a <think> phase samples
+            at the request's own temperature while the tool-call phase that
+            follows forces its kwargs (reference
+            engine/inference_engine.py:257-271, sub_state.py:12-21)."""
+            if not state_kwargs or not hasattr(machine, "active_names"):
+                return sampling, skind
+            kw = dict(kwargs)
+            for n in sorted(machine.active_names()):
+                if n in state_kwargs:
+                    kw.update(state_kwargs[n])
+            sp = self._sampling(kw)
+            return sp, sampler_kind_for(
+                sp.temperature, sp.top_p, sp.min_p, sp.top_k
+            )
 
         def build_mask():
             """np mask for the current machine state, or None while an
@@ -617,13 +636,14 @@ class InferenceEngine:
             bucket = _bucket(n, self.EXTEND_BUCKETS)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :n] = pending_ids
+            sp, sk = resolve_params()
             state, token, aux = self.core._prefill(
                 self.params, self.state, jnp.asarray(ids),
                 jnp.full((1,), n, jnp.int32),
                 jnp.full((1,), first_pos, jnp.int32),
-                sampling, penalties, bias_ids, bias_vals,
+                sp, penalties, bias_ids, bias_vals,
                 allowed_mask=device_mask(mask),
-                return_logprobs=logprobs, sampler_kind=skind,
+                return_logprobs=logprobs, sampler_kind=sk,
             )
             self.state = state
             return int(token[0]), aux
@@ -657,13 +677,14 @@ class InferenceEngine:
         )
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :hlen] = head
+        sp0, sk0 = resolve_params()
         state, token, aux = self.core._prefill(
             self.params, self.state, jnp.asarray(ids),
             jnp.full((1,), hlen, jnp.int32),
             jnp.full((1,), head_pos, jnp.int32),
-            sampling, penalties, bias_ids, bias_vals,
+            sp0, penalties, bias_ids, bias_vals,
             allowed_mask=device_mask(mask),
-            return_logprobs=logprobs, sampler_kind=skind,
+            return_logprobs=logprobs, sampler_kind=sk0,
         )
         self.state = state
         tok = int(token[0])
@@ -802,6 +823,7 @@ def _chat_run(
     stop=None,
     max_completion_tokens: int = 1024,
     logprobs: bool = False,
+    reasoning: bool = False,
     **sampling_kwargs,
 ):
     """Generator: yields ChatDelta, returns the assistant Interaction."""
@@ -855,14 +877,20 @@ def _chat_run(
         tool_choice=tool_choice,
         parallel_tool_calls=parallel_tool_calls,
         stop=[stop] if isinstance(stop, str) else (stop or []),
+        reasoning=reasoning,
     )
     if st.machine is not None and hasattr(engine, "generate_constrained"):
         merged = dict(sampling_kwargs)
         merged.update(st.generation_kwargs)
+        if st.state_kwargs:
+            merged["state_kwargs"] = st.state_kwargs
         result, text = engine.generate_constrained(
             prompt_ids, st.machine, max_completion_tokens, **merged
         )
         yield ChatDelta(text=text)
+        reasoning_content, visible = RootStateMachine.split_reasoning(
+            st, text
+        )
         label, value = RootStateMachine.labeled_output(st, text)
         content = []
         finish = result.finish_reason
@@ -873,7 +901,7 @@ def _chat_run(
                 )
             finish = "tool_calls"
         else:
-            content.append(Content.text_content(text))
+            content.append(Content.text_content(visible))
             if finish.startswith("error"):
                 finish = "stop"
         return Interaction(
@@ -885,6 +913,7 @@ def _chat_run(
                 "completion_tokens": result.completion_tokens,
                 "logprobs": None,
                 "token_ids": result.token_ids,
+                "reasoning_content": reasoning_content,
             },
         )
     stop_strings = [stop] if isinstance(stop, str) else list(stop or [])

@@ -87,6 +87,10 @@ class Sequence:
     # BatchedInferenceEngine.generate_constrained
     machine: Any = None
     masker: Any = None
+    # per-sub-state sampler overrides keyed by machine.active_names()
+    # (reference sub_state.py:12-21); resolved each chunk against the
+    # request's own base sampling parameters
+    state_kwargs: dict = dataclasses.field(default_factory=dict)
     # tokens whose KV still needs writing, starting at pool position
     # pending_base; the LAST pending token is the wake token (its KV is
     # written during its own decode step). Initialized to the prompt at
@@ -564,6 +568,20 @@ class Scheduler:
             for lane, seq in mask_lanes:
                 chunk_budget[lane] = 1
                 machine = seq.machine
+                if seq.state_kwargs and hasattr(machine, "active_names"):
+                    # per-state sampler switching: the live sub-state's
+                    # overrides re-key this lane's sampling params each
+                    # choice point (reasoning phase samples freeform,
+                    # tool_call phase forces its kwargs)
+                    kw: dict = {}
+                    for n in sorted(machine.active_names()):
+                        kw.update(seq.state_kwargs.get(n, {}))
+                    self.samp["temperature"][lane] = kw.get(
+                        "temperature", seq.temperature
+                    )
+                    self.samp["top_p"][lane] = kw.get("top_p", seq.top_p)
+                    self.samp["min_p"][lane] = kw.get("min_p", seq.min_p)
+                    self.samp["top_k"][lane] = kw.get("top_k", seq.top_k)
                 if getattr(machine, "is_unconstrained", lambda: False)():
                     continue  # freeform phase: sample unmasked
                 m = seq.masker.build_mask(machine)

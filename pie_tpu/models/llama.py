@@ -34,8 +34,10 @@ from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
 from pie_tpu.ops.quant import QuantizedTensor, quantized_matmul
 from pie_tpu.ops.rope import (
     RopeScalingConfig,
+    apply_rope_matrix,
     apply_rope_tables,
     make_inv_freq,
+    rope_matrix,
     rope_tables,
 )
 
@@ -407,8 +409,15 @@ class LlamaModel:
             valid = jnp.arange(t)[None, :] < valid_lens[:, None]
             write_slots = jnp.where(valid, write_slots, cache.capacity)
         batch_idx = jnp.arange(b)[:, None]
-        # rope tables hoisted out of the layer scan (see ops/rope.py)
-        cos, sin = rope_tables(positions, self.inv_freq)
+        # rope hoisted out of the layer scan; decode (T==1) uses the MXU
+        # rotation matrix — the elementwise rotate-half's lane shuffles
+        # cost ~1.4 ms/token at 8B (see ops/rope.py:rope_matrix)
+        if t == 1:
+            rot = rope_matrix(positions, self.inv_freq, dh)
+            rope_fn = lambda x: apply_rope_matrix(x, rot)
+        else:
+            cos, sin = rope_tables(positions, self.inv_freq)
+            rope_fn = lambda x: apply_rope_tables(x, cos, sin)
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
 
@@ -423,8 +432,8 @@ class LlamaModel:
             x = rms_norm(h, _dyn(p["ln1"], i), eps)
             q, k, v = self._attn_proj(p, x, b, t, layer=i)
             if "norope" not in _abl:
-                q = apply_rope_tables(q, cos, sin)
-                k = apply_rope_tables(k, cos, sin)
+                q = rope_fn(q)
+                k = rope_fn(k)
 
             if "nocache" in _abl:
                 attn = q
@@ -562,7 +571,12 @@ class LlamaModel:
         h = self.embed(params, input_ids)
         b, t = h.shape[0], h.shape[1]
         decode = t == 1
-        cos, sin = rope_tables(positions, self.inv_freq)
+        if decode:
+            rot = rope_matrix(positions, self.inv_freq, dh)
+            rope_fn = lambda x: apply_rope_matrix(x, rot)
+        else:
+            cos, sin = rope_tables(positions, self.inv_freq)
+            rope_fn = lambda x: apply_rope_tables(x, cos, sin)
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         quantized = pool.quantized
@@ -596,8 +610,8 @@ class LlamaModel:
                 h, apk, apv = carry
             x = rms_norm(h, _dyn(lp["ln1"], i), eps)
             q, k, v = self._attn_proj(lp, x, b, t, layer=i)
-            q = apply_rope_tables(q, cos, sin)
-            k = apply_rope_tables(k, cos, sin)
+            q = rope_fn(q)
+            k = rope_fn(k)
 
             # pool is head-major [L, P, Hkv, PAGE, D]; the advanced indices
             # around the head slice keep values in natural [B, T, Hkv, ...]

@@ -86,6 +86,7 @@ def text_positions3(positions):
     return jnp.broadcast_to(positions[None], (3,) + positions.shape)
 
 
+@register_model("qwen2_5_vl")
 @register_model("qwen2_vl")
 class Qwen2VLModel:
     config_class = Qwen2VLConfig
@@ -328,22 +329,46 @@ class Qwen2VisionTower:
         self.temporal_patch_size = vcfg.get("temporal_patch_size", 2)
         self.spatial_merge_size = vcfg.get("spatial_merge_size", 2)
         self.mlp_ratio = vcfg.get("mlp_ratio", 4)
-        self.out_hidden = vcfg.get("hidden_size", 3584)
+        self.out_hidden = vcfg.get(
+            "out_hidden_size", vcfg.get("hidden_size", 3584)
+        )
         self.in_channels = vcfg.get("in_channels", 3)
+        # Qwen2.5-VL tower variant (reference models/intern/vision.py:
+        # 216-460): windowed attention with full attention only at
+        # fullatt_block_indexes, RMSNorm blocks, gated-SiLU MLP
+        self.window_size = vcfg.get("window_size")
+        self.fullatt_block_indexes = vcfg.get("fullatt_block_indexes")
+        self.windowed = (
+            self.window_size is not None
+            and self.fullatt_block_indexes is not None
+        )
 
     def from_hf_state_dict(self, weights, dtype=jnp.bfloat16):
         pre = "visual." if any(k.startswith("visual.") for k in weights) \
             else "model.visual."
         g = lambda k: jnp.asarray(np.asarray(weights[pre + k]), dtype=dtype)
         blocks = {}
-        names = {
-            "ln1_w": "norm1.weight", "ln1_b": "norm1.bias",
-            "ln2_w": "norm2.weight", "ln2_b": "norm2.bias",
-            "qkv_w": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
-            "proj_w": "attn.proj.weight", "proj_b": "attn.proj.bias",
-            "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
-            "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
-        }
+        if self.windowed:  # Qwen2.5 blocks: RMSNorm + gated-SiLU MLP
+            names = {
+                "ln1_w": "norm1.weight",
+                "ln2_w": "norm2.weight",
+                "qkv_w": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
+                "proj_w": "attn.proj.weight", "proj_b": "attn.proj.bias",
+                "gate_w": "mlp.gate_proj.weight",
+                "gate_b": "mlp.gate_proj.bias",
+                "up_w": "mlp.up_proj.weight", "up_b": "mlp.up_proj.bias",
+                "down_w": "mlp.down_proj.weight",
+                "down_b": "mlp.down_proj.bias",
+            }
+        else:
+            names = {
+                "ln1_w": "norm1.weight", "ln1_b": "norm1.bias",
+                "ln2_w": "norm2.weight", "ln2_b": "norm2.bias",
+                "qkv_w": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
+                "proj_w": "attn.proj.weight", "proj_b": "attn.proj.bias",
+                "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+                "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+            }
         for ours, theirs in names.items():
             mats = []
             for i in range(self.depth):
@@ -352,32 +377,89 @@ class Qwen2VisionTower:
                     m = m.T
                 mats.append(m)
             blocks[ours] = jnp.asarray(np.stack(mats), dtype=dtype)
-        return {
+        out = {
             "patch_w": g("patch_embed.proj.weight"),  # [D, C, Tp, P, P]
             "blocks": blocks,
             "merger_ln_w": g("merger.ln_q.weight"),
-            "merger_ln_b": g("merger.ln_q.bias"),
             "merger_fc1_w": g("merger.mlp.0.weight").T,
             "merger_fc1_b": g("merger.mlp.0.bias"),
             "merger_fc2_w": g("merger.mlp.2.weight").T,
             "merger_fc2_b": g("merger.mlp.2.bias"),
         }
+        if not self.windowed:  # 2.5's merger ln_q is RMSNorm (no bias)
+            out["merger_ln_b"] = g("merger.ln_q.bias")
+        return out
 
     def _rot_pos(self, grid_thw: np.ndarray) -> np.ndarray:
-        """[total_patches, head_dim//2] rotary angles source positions,
-        following HF rot_pos_emb: half dims h, half dims w, with window-free
-        ordering h-major inside each frame."""
+        """[total_patches, 2] rotary (h, w) positions following HF
+        rot_pos_emb: the token stream (and the image processor's pixel
+        layout) is MERGE-UNIT GROUPED — (h_block, w_block, mh, mw) raster,
+        each spatial_merge_size^2 run is one 2x2 unit — not plain h-major
+        (reference models/intern/vision.py:240-276)."""
         out = []
         m = self.spatial_merge_size
         for tt, hh, ww in grid_thw:
-            hpos = np.arange(hh).reshape(hh // m, m, 1, 1)
-            hpos = np.broadcast_to(hpos, (hh // m, m, ww // m, m))
-            hpos = hpos.reshape(-1)
-            wpos = np.arange(ww).reshape(1, 1, ww // m, m)
-            wpos = np.broadcast_to(wpos, (hh // m, m, ww // m, m)).reshape(-1)
-            hw = np.stack([hpos, wpos], -1)  # [hh*ww, 2]
+            hpos = np.broadcast_to(np.arange(hh)[:, None], (hh, ww))
+            wpos = np.broadcast_to(np.arange(ww)[None, :], (hh, ww))
+
+            def grouped(p):
+                return (
+                    p.reshape(hh // m, m, ww // m, m)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1)
+                )
+
+            hw = np.stack([grouped(hpos), grouped(wpos)], -1)  # [hh*ww, 2]
             out.append(np.tile(hw, (tt, 1)))
         return np.concatenate(out, 0)
+
+    def _window_order(self, grid: np.ndarray):
+        """Window partition for the Qwen2.5 tower (reference
+        get_window_index, models/intern/vision.py:277-358, reframed
+        TPU-first: instead of varlen cu_seqlens, a merge-unit permutation
+        into window-contiguous order + SEGMENT IDS, from which the block-
+        diagonal attention masks are one equality broadcast).
+
+        Returns (order [Nu] — merge-unit permutation, win_seg [N] — window
+        id per permuted patch token, frame_seg [N] — frame id per permuted
+        patch token). Edge windows are ragged (the reference pads then
+        filters; slicing ragged blocks directly is the same order)."""
+        m = self.spatial_merge_size
+        ws = self.window_size // m // self.patch_size
+        order, win_u, frame_u = [], [], []
+        base = wid = frame0 = 0
+        for tt, hh, ww in grid:
+            lh, lw = hh // m, ww // m
+            for t in range(tt):
+                for bh in range(0, lh, ws):
+                    for bw in range(0, lw, ws):
+                        rows = np.arange(bh, min(bh + ws, lh))
+                        cols = np.arange(bw, min(bw + ws, lw))
+                        units = (
+                            t * lh * lw + rows[:, None] * lw + cols[None, :]
+                        ).reshape(-1)
+                        order.append(units + base)
+                        win_u.append(np.full(units.size, wid))
+                        frame_u.append(np.full(units.size, frame0 + t))
+                        wid += 1
+            base += tt * lh * lw
+            frame0 += tt
+        m2 = m * m
+        return (
+            np.concatenate(order),
+            np.repeat(np.concatenate(win_u), m2),
+            np.repeat(np.concatenate(frame_u), m2),
+        )
+
+    @staticmethod
+    def _frame_seg(grid: np.ndarray) -> np.ndarray:
+        """Frame id per patch token in natural order (full attention is per
+        frame — the reference's cu_seqlens repeat(h*w, t) boundaries)."""
+        segs, f = [], 0
+        for tt, hh, ww in grid:
+            segs.append(np.repeat(np.arange(f, f + tt), hh * ww))
+            f += tt
+        return np.concatenate(segs)
 
     def forward(self, vp, pixel_values, grid_thw):
         """pixel_values: [total_patches, C*Tp*P*P] (HF flattened layout);
@@ -389,6 +471,28 @@ class Qwen2VisionTower:
         h = x @ kernel.T  # patch embedding == conv over flattened patches
         grid = np.asarray(grid_thw)
         hw = self._rot_pos(grid)  # [N, 2]
+
+        n = h.shape[0]
+        m2 = self.spatial_merge_size ** 2
+        order = None
+        if self.windowed:
+            order, win_seg, frame_seg = self._window_order(grid)
+            h = h.reshape(n // m2, m2, -1)[order].reshape(n, -1)
+            hw = hw.reshape(n // m2, m2, 2)[order].reshape(n, 2)
+            mask_win = jnp.asarray(win_seg[:, None] == win_seg[None, :])[None]
+            mask_full = jnp.asarray(
+                frame_seg[:, None] == frame_seg[None, :]
+            )[None]
+            is_full = np.zeros((self.depth,), bool)
+            is_full[list(self.fullatt_block_indexes)] = True
+            is_full = jnp.asarray(is_full)
+        else:
+            frame_seg = self._frame_seg(grid)
+            mask_full = jnp.asarray(
+                frame_seg[:, None] == frame_seg[None, :]
+            )[None]
+            mask_win = mask_full
+            is_full = jnp.ones((self.depth,), bool)
         head_dim = self.embed_dim // self.num_heads
         half = head_dim // 2
         inv = 1.0 / (
@@ -414,31 +518,62 @@ class Qwen2VisionTower:
             ).astype(v.dtype)
 
         blocks = vp["blocks"]
+        windowed = self.windowed
 
-        def layer(h, p):
-            x = _ln(h, p["ln1_w"], p["ln1_b"], 1e-6)
+        def norm1(x, p):
+            if windowed:
+                return _rms(x, p["ln1_w"], 1e-6)
+            return _ln(x, p["ln1_w"], p["ln1_b"], 1e-6)
+
+        def norm2(x, p):
+            if windowed:
+                return _rms(x, p["ln2_w"], 1e-6)
+            return _ln(x, p["ln2_w"], p["ln2_b"], 1e-6)
+
+        def mlp(x, p):
+            if windowed:  # Qwen2.5 gated-SiLU
+                g = x @ p["gate_w"] + p["gate_b"]
+                u = x @ p["up_w"] + p["up_b"]
+                return (jax.nn.silu(g) * u) @ p["down_w"] + p["down_b"]
+            y = jax.nn.gelu(x @ p["fc1_w"] + p["fc1_b"], approximate=False)
+            return y @ p["fc2_w"] + p["fc2_b"]
+
+        def layer(h, xs):
+            p, full = xs
+            x = norm1(h, p)
             n, dd = x.shape
             qkv = (x @ p["qkv_w"] + p["qkv_b"]).reshape(n, 3, heads, head_dim)
             q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             q, k = rot(q), rot(k)
+            mask = jnp.where(full, mask_full, mask_win)
             attn = sdpa(
-                q[None], k[None], v[None], None, head_dim**-0.5
+                q[None], k[None], v[None], mask, head_dim**-0.5
             )[0]
             h = h + (attn.reshape(n, dd) @ p["proj_w"] + p["proj_b"])
-            x = _ln(h, p["ln2_w"], p["ln2_b"], 1e-6)
-            y = jax.nn.gelu(x @ p["fc1_w"] + p["fc1_b"], approximate=False)
-            h = h + (y @ p["fc2_w"] + p["fc2_b"])
+            h = h + mlp(norm2(h, p), p)
             return h, None
 
-        h, _ = jax.lax.scan(layer, h, blocks)
-        # PatchMerger: ln + group 2x2 + MLP
-        h = _ln(h, vp["merger_ln_w"], vp["merger_ln_b"], 1e-6)
-        m2 = self.spatial_merge_size**2
+        h, _ = jax.lax.scan(layer, h, (blocks, is_full))
+        # PatchMerger: norm + group 2x2 + MLP
+        if windowed:
+            h = _rms(h, vp["merger_ln_w"], 1e-6)
+        else:
+            h = _ln(h, vp["merger_ln_w"], vp["merger_ln_b"], 1e-6)
         h = h.reshape(-1, m2 * self.embed_dim)
         y = jax.nn.gelu(
             h @ vp["merger_fc1_w"] + vp["merger_fc1_b"], approximate=False
         )
-        return y @ vp["merger_fc2_w"] + vp["merger_fc2_b"]
+        out = y @ vp["merger_fc2_w"] + vp["merger_fc2_b"]
+        if order is not None:
+            # undo the window permutation: one merged token per merge unit
+            out = out[np.argsort(order)]
+        return out
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv * w.astype(jnp.float32)).astype(x.dtype)
 
 
 def _ln(x, w, b, eps):

@@ -116,7 +116,8 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
                 tool_choice=tool_choice or "auto",
                 parallel_tool_calls=bool(req.parallel_tool_calls),
                 stop=req.stop, max_completion_tokens=max_tokens,
-                logprobs=bool(req.logprobs), **kw,
+                logprobs=bool(req.logprobs),
+                reasoning=bool(req.reasoning), **kw,
             )
         except (InferenceError, ValueError) as e:
             get_metrics().record_request(0, 0, None, timer.elapsed, error=True)
@@ -159,7 +160,8 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
                 tool_choice=tool_choice or "auto",
                 parallel_tool_calls=bool(req.parallel_tool_calls),
                 stop=req.stop, max_completion_tokens=max_tokens,
-                logprobs=bool(req.logprobs), **kw,
+                logprobs=bool(req.logprobs),
+                reasoning=bool(req.reasoning), **kw,
             )
             while True:
                 try:
@@ -265,7 +267,10 @@ def _chat_response(engine, req, inter) -> S.ChatCompletionResponse:
     return S.ChatCompletionResponse(
         model=req.model,
         choices=[S.ChatChoice(
-            message=S.ChatResponseMessage(content=content, tool_calls=tool_calls),
+            message=S.ChatResponseMessage(
+                content=content, tool_calls=tool_calls,
+                reasoning_content=inter.metadata.get("reasoning_content"),
+            ),
             finish_reason=inter.finish_reason,
             logprobs=logprobs_out,
         )],

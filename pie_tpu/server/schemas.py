@@ -143,6 +143,10 @@ class ChatCompletionRequest(BaseModel):
     tool_choice: Optional[ToolChoice] = None
     parallel_tool_calls: Optional[bool] = True
     response_format: Optional[ResponseFormat] = None
+    # non-standard: constrain output to a <think>...</think> block followed
+    # by the response (reference ReasoningState); the think body comes back
+    # in message.reasoning_content
+    reasoning: Optional[bool] = False
     model_config = ConfigDict(extra="ignore")
 
 

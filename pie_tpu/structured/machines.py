@@ -289,10 +289,12 @@ def reasoning_machine(
     open_tag: str = "<think>",
     close_tag: str = "</think>",
     stop: Sequence[str] = (),
+    output_name: str = None,
 ):
     """<think>...</think> followed by the output machine (reference
     ReasoningState + structured/tool state composed in the root graph,
-    state_machine/sub_states/__init__.py:1-13)."""
+    state_machine/sub_states/__init__.py:1-13). ``output_name`` labels the
+    output part for active_names()-keyed sampler switching."""
     parts = [
         LiteralMachine(open_tag),
         FreeformMachine(end_delimiters=(close_tag,)),
@@ -300,8 +302,10 @@ def reasoning_machine(
     names = ["reasoning", "reasoning"]
     if output_machine is not None:
         parts.append(output_machine)
-        names.append(getattr(output_machine, "name", "output"))
+        names.append(
+            output_name or getattr(output_machine, "name", "output")
+        )
     else:
         parts.append(FreeformMachine(end_delimiters=tuple(stop), min_chars=1))
-        names.append("text")
+        names.append(output_name or "text")
     return SequenceMachine(parts, names=names)

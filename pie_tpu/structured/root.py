@@ -25,6 +25,12 @@ class StructuredState:
     machine: Optional[JsonMachine] = None  # None = freeform
     generation_kwargs: dict = dataclasses.field(default_factory=dict)
     stop_sequences: tuple[str, ...] = ()
+    #: per-sub-state sampler overrides, keyed by the composite machine's
+    #: active part names (reference keys samplers off the live PSE state
+    #: each step, engine/inference_engine.py:257-271 + per-state kwargs
+    #: state_machine/sub_state.py:12-21): a reasoning phase samples
+    #: freeform while the tool_call phase that follows forces temp 0
+    state_kwargs: dict = dataclasses.field(default_factory=dict)
 
 
 def _tool_schema(tool: dict) -> dict:
@@ -90,6 +96,7 @@ class RootStateMachine:
                 name="tool_call",
                 machine=JsonMachine(schema),
                 generation_kwargs={"temperature": 0.0, "min_p": 0.02},
+                state_kwargs={"tool_call": {"temperature": 0.0, "min_p": 0.02}},
             )
         elif fmt_type == "json_schema":
             spec = response_format.get("json_schema", {}) or {}
@@ -108,15 +115,24 @@ class RootStateMachine:
             from pie_tpu.structured.machines import reasoning_machine
 
             open_tag, close_tag = self.REASONING_TAGS
+            inner = self.state
             self.state = StructuredState(
-                name=f"reasoning+{self.state.name}",
+                name=f"reasoning+{inner.name}",
                 machine=reasoning_machine(
-                    self.state.machine, open_tag, close_tag,
-                    stop=self.state.stop_sequences
-                    or (self._end_of_turn(),),
+                    inner.machine, open_tag, close_tag,
+                    stop=inner.stop_sequences or (self._end_of_turn(),),
+                    output_name=inner.name,
                 ),
-                generation_kwargs=self.state.generation_kwargs,
-                stop_sequences=self.state.stop_sequences,
+                # the inner state's forced kwargs apply ONLY while its part
+                # of the composite is active — the <think> phase samples at
+                # the request's own parameters
+                generation_kwargs={},
+                stop_sequences=inner.stop_sequences,
+                state_kwargs=(
+                    {inner.name: inner.generation_kwargs}
+                    if inner.generation_kwargs
+                    else dict(inner.state_kwargs)
+                ),
             )
         return self.state
 
@@ -124,6 +140,21 @@ class RootStateMachine:
         if self.control_tokens is not None:
             return self.control_tokens.end_of_turn
         return "</s>"
+
+    @staticmethod
+    def split_reasoning(state: StructuredState, text: str):
+        """(reasoning_content, visible_text) for reasoning states;
+        (None, text) otherwise."""
+        if not state.name.startswith("reasoning+"):
+            return None, text
+        open_tag, close_tag = RootStateMachine.REASONING_TAGS
+        body = text
+        if body.startswith(open_tag):
+            body = body[len(open_tag):]
+        i = body.find(close_tag)
+        if i == -1:
+            return body, ""
+        return body[:i], body[i + len(close_tag):]
 
     # -- output labeling (reference get_labeled_output) ------------------
 

@@ -227,3 +227,71 @@ def test_reasoning_chat_state(engine):
         label, value = RootStateMachine.labeled_output(st, text)
         assert label == "json"
         assert value == {"name": "alpha"}
+
+
+def test_per_state_sampler_switching(engine):
+    """Reasoning+tool_call composite: the <think> phase samples at the
+    request's temperature while the tool_call phase forces temp 0
+    (reference keys samplers off the live PSE state each step,
+    engine/inference_engine.py:257-271, sub_state.py:12-21)."""
+    from pie_tpu.structured import RootStateMachine
+
+    tools = [{
+        "type": "function",
+        "function": {
+            "name": "get_weather",
+            "parameters": {
+                "type": "object",
+                "properties": {"city": {"type": "string"}},
+                "required": ["city"],
+                "additionalProperties": False,
+            },
+        },
+    }]
+    root = RootStateMachine(engine.tokenizer.control_tokens)
+    st = root.configure(tools=tools, tool_choice="required", reasoning=True)
+    assert st.state_kwargs == {
+        "tool_call": {"temperature": 0.0, "min_p": 0.02}
+    }
+    assert st.generation_kwargs == {}
+
+    seen = []
+    orig = engine.core._prefill
+
+    def recording(params, state, ids, lens, first, sampling, *a, **kw):
+        seen.append(float(sampling.temperature[0]))
+        return orig(params, state, ids, lens, first, sampling, *a, **kw)
+
+    # bias the close tag so the think phase ends deterministically fast
+    close_id = engine.tokenizer.encode("</think>")[-1]
+    engine.core._prefill = recording
+    try:
+        result, text = engine.generate_constrained(
+            [5, 6], st.machine, max_completion_tokens=60, temperature=0.9,
+            state_kwargs=st.state_kwargs, logit_bias={close_id: 50.0},
+        )
+    finally:
+        engine.core._prefill = orig
+    # the run must traverse BOTH phases: think-phase dispatches at the
+    # request temperature, tool-phase dispatches forced to 0
+    assert any(abs(t - 0.9) < 1e-6 for t in seen), seen
+    assert any(t == 0.0 for t in seen), seen
+    # order: every 0.9 dispatch precedes every 0.0 dispatch
+    last_hot = max(i for i, t in enumerate(seen) if abs(t - 0.9) < 1e-6)
+    first_cold = min(i for i, t in enumerate(seen) if t == 0.0)
+    assert last_hot < first_cold, seen
+
+
+def test_reasoning_chat_response(engine):
+    """reasoning=True: the response separates reasoning_content from the
+    visible answer."""
+    inter = engine.chat(
+        [{"role": "user", "text": "hello"}],
+        response_format={"type": "json_object"},
+        reasoning=True,
+        max_completion_tokens=200,
+        temperature=0.3,
+    )
+    rc = inter.metadata.get("reasoning_content")
+    assert rc is not None
+    assert "<think>" not in (inter.text or "")
