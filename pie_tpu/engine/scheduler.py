@@ -91,6 +91,12 @@ class Sequence:
     # (reference sub_state.py:12-21); resolved each chunk against the
     # request's own base sampling parameters
     state_kwargs: dict = dataclasses.field(default_factory=dict)
+    # VLM: precomputed prompt embeddings [plen, D] (vision-tower features
+    # already scattered over image-placeholder ids, reference
+    # models/gemma/ensemble.py:108-157); the prefill rider carries these
+    # instead of re-embedding the ids. The final prompt token (the wake
+    # token) must be TEXT — chat templates end with the generation prompt.
+    prompt_embeds: Any = None
     # tokens whose KV still needs writing, starting at pool position
     # pending_base; the LAST pending token is the wake token (its KV is
     # written during its own decode step). Initialized to the prompt at
@@ -119,6 +125,7 @@ class PagedEngine:
         kv_quantized: bool = False,
         history_len: int = 64,
         seed: int = 0,
+        mesh=None,
     ):
         cfg = model.config
         self.model = model
@@ -136,6 +143,16 @@ class PagedEngine:
             kv_dtype,
             kv_quantized,
         )
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: pool kv-heads sharded over "tp" (pages
+            # are a global pool, replicated over "dp"); params are expected
+            # pre-sharded (shard_llama_params); the model pins activation
+            # shardings via with_sharding_constraint
+            from pie_tpu.parallel.tp import shard_pool
+
+            self.pool = shard_pool(self.pool, mesh)
+            model.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
 
         self._prefill = jax.jit(self._prefill_impl, donate_argnames=("pool",))
@@ -146,7 +163,9 @@ class PagedEngine:
         self._sample_first = jax.jit(self._sample_first_impl)
         self._chunk = jax.jit(
             self._chunk_impl, donate_argnames=("pool",),
-            static_argnames=("num_steps", "sampler_kind", "use_mask"),
+            static_argnames=(
+                "num_steps", "sampler_kind", "use_mask", "use_embeds",
+            ),
         )
 
     # -- device programs -------------------------------------------------
@@ -205,6 +224,10 @@ class PagedEngine:
         pf_pos_steps,  # [N, Cs]
         pf_lane_steps,  # [N] lane whose table each step's rider uses
         pf_ctx_steps,  # [N] rider-lane pool tokens after each step's slice
+        pf_embeds_steps,  # [N, Cs, D] rider embeddings (VLM prefill) or
+        #                   [N, 1, 1] dummy when use_embeds is False
+        pf_euse_steps,  # [N] bool — step's rider slice carries embeddings
+        #                 (a chunk can mix VLM and plain-text riders)
         wake_step,  # [B] step at which the lane starts decoding (-1 never)
         wake_tokens,  # [B] the prompt's final token (first decode input)
         wake_ctx,  # [B] pool tokens at wake (= prompt_len - 1)
@@ -218,6 +241,7 @@ class PagedEngine:
         num_steps: int,
         sampler_kind: str = "auto",
         use_mask: bool = False,
+        use_embeds: bool = False,
     ):
         """N mixed continuous-batching steps fully on-device (one host sync
         per chunk instead of per token): every step advances all live decode
@@ -231,7 +255,7 @@ class PagedEngine:
 
         def step(carry, xs):
             pool, last, ctx, hist, done, prod, cnt, key = carry
-            pf_ids, pf_pos, pf_lane, pf_ctx, s = xs
+            pf_ids, pf_pos, pf_lane, pf_ctx, pf_emb, pf_euse, s = xs
 
             wake = wake_step == s
             last = jnp.where(wake, wake_tokens, last)
@@ -242,9 +266,14 @@ class PagedEngine:
             active = ~done & (cnt < chunk_budget)
             dec_pos = jnp.where(active, ctx, -1)
             dec_ctx = jnp.where(active, ctx + 1, 1)
+            extra = (
+                {"pf_embeds": pf_emb, "pf_embeds_valid": pf_euse}
+                if use_embeds
+                else {}
+            )
             logits, pool = self.model.mixed_forward(
                 params, pool, last, dec_pos, dec_ctx, block_tables,
-                pf_ids, pf_pos, pf_lane, pf_ctx,
+                pf_ids, pf_pos, pf_lane, pf_ctx, **extra,
             )
             logits = repetition_penalty(logits, hist, pen_rep)
             logits = presence_frequency_penalty(
@@ -273,6 +302,7 @@ class PagedEngine:
 
         xs = (
             pf_ids_steps, pf_pos_steps, pf_lane_steps, pf_ctx_steps,
+            pf_embeds_steps, pf_euse_steps,
             jnp.arange(num_steps, dtype=jnp.int32),
         )
         cnt0 = jnp.zeros_like(produced)
@@ -441,6 +471,8 @@ class Scheduler:
         pf_pos = np.full((n, cs), -1, np.int32)
         pf_lane = np.zeros((n,), np.int32)
         pf_ctx = np.zeros((n,), np.int32)
+        pf_embeds = None  # lazily allocated [n, cs, D] when a VLM seq rides
+        pf_euse = np.zeros((n,), bool)
         wake_step = np.full((b,), -1, np.int32)
         wake_tokens = np.zeros((b,), np.int32)
         wake_ctx = np.zeros((b,), np.int32)
@@ -490,6 +522,16 @@ class Scheduler:
                 pf_pos[s, :cnt] = base + np.arange(
                     seq.prefill_pos, seq.prefill_pos + cnt
                 )
+                if seq.prompt_embeds is not None and base == 0:
+                    # VLM prompt: the rider carries precomputed embeddings
+                    if pf_embeds is None:
+                        pf_embeds = np.zeros(
+                            (n, cs, seq.prompt_embeds.shape[-1]), np.float32
+                        )
+                    pf_embeds[s, :cnt] = seq.prompt_embeds[
+                        seq.prefill_pos : seq.prefill_pos + cnt
+                    ]
+                    pf_euse[s] = True
                 pf_lane[s] = lane
                 seq.prefill_pos += cnt
                 pf_ctx[s] = base + seq.prefill_pos
@@ -541,6 +583,7 @@ class Scheduler:
 
         return dict(
             pf_ids=pf_ids, pf_pos=pf_pos, pf_lane=pf_lane, pf_ctx=pf_ctx,
+            pf_embeds=pf_embeds, pf_euse=pf_euse,
             wake_step=wake_step, wake_tokens=wake_tokens, wake_ctx=wake_ctx,
             wake_hist=wake_hist,
         )
@@ -628,6 +671,12 @@ class Scheduler:
             jnp.asarray(plan["pf_pos"]),
             jnp.asarray(plan["pf_lane"]),
             jnp.asarray(plan["pf_ctx"]),
+            jnp.asarray(
+                plan["pf_embeds"]
+                if plan["pf_embeds"] is not None
+                else np.zeros((n, 1, 1), np.float32)
+            ),
+            jnp.asarray(plan["pf_euse"]),
             jnp.asarray(plan["wake_step"]),
             jnp.asarray(plan["wake_tokens"]),
             jnp.asarray(plan["wake_ctx"]),
@@ -639,6 +688,7 @@ class Scheduler:
             num_steps=n,
             sampler_kind=skind,
             use_mask=use_mask,
+            use_embeds=plan["pf_embeds"] is not None,
         )
         emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
         # np.array (not asarray): device->host views are read-only and the

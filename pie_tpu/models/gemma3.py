@@ -581,6 +581,197 @@ class Gemma3Model:
         h = _gemma_rms(h, params["norm"], eps)
         return self.unembed(params, h).astype(jnp.float32), cache
 
+    # -- paged-pool forwards (continuous batching; VLM lanes) -------------
+
+    def mixed_forward(
+        self,
+        params: dict,
+        pool,  # PagedKVPool
+        dec_tokens: jax.Array,  # [B]
+        dec_positions: jax.Array,  # [B] (-1 frozen)
+        dec_ctx: jax.Array,  # [B]
+        block_tables: jax.Array,  # [B, maxP]
+        pf_ids: jax.Array,  # [Cs] rider tokens (-1 pad)
+        pf_positions: jax.Array,  # [Cs]
+        pf_lane: jax.Array,  # scalar
+        pf_ctx: jax.Array,  # scalar
+        use_kernel: bool = True,
+        pf_embeds: Optional[jax.Array] = None,  # [Cs, D] rider embeddings
+        #   (image prefill: the vision tower's merged embeddings ride the
+        #   rider instead of re-embedding placeholder ids; reference
+        #   models/gemma/ensemble.py:108-157 scatter, done host-side)
+        pf_embeds_valid=True,  # scalar bool: this step's rider slice
+        #   belongs to an embeds-carrying sequence (chunks mix VLM and
+        #   plain-text riders)
+    ):
+        """Gemma-3 analog of LlamaModel.mixed_forward: one device program
+        advancing every live decode lane one token while a prefill-rider
+        slice (tokens OR precomputed VLM embeddings) writes KV through the
+        same weight stream. Sliding layers window their paged attention
+        (mask-enforced; pages still come from the global pool)."""
+        from pie_tpu.cache import paged as paged_mod
+        from pie_tpu.ops.paged_attention import paged_attention_xla
+
+        cfg = self.config
+        dh = cfg.head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        b = dec_tokens.shape[0]
+        cs = pf_ids.shape[0]
+        m = b + cs
+        scale = float(cfg.query_pre_attn_scalar) ** -0.5
+        eps = cfg.rms_norm_eps
+        win = cfg.sliding_window
+        quantized = pool.quantized
+        fold = pool.fold
+
+        flat_ids = jnp.concatenate([dec_tokens, pf_ids])
+        positions = jnp.concatenate([dec_positions, pf_positions])
+        h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
+        if pf_embeds is not None:
+            pf_part = jnp.where(
+                pf_embeds_valid, pf_embeds.astype(h.dtype), h[0, b:]
+            )
+            h = jnp.concatenate([h[:, :b], pf_part[None]], axis=1)
+
+        page_idx = positions // paged_mod.PAGE_SIZE
+        slot = positions % paged_mod.PAGE_SIZE
+        maxp = block_tables.shape[1]
+        dec_phys = jnp.take_along_axis(
+            block_tables, jnp.clip(page_idx[:b, None], 0, maxp - 1), axis=1
+        )[:, 0]
+        pf_table = jax.lax.dynamic_index_in_dim(
+            block_tables, pf_lane, 0, keepdims=False
+        )
+        pf_phys = pf_table[jnp.clip(page_idx[b:], 0, maxp - 1)]
+        phys = jnp.concatenate([dec_phys, pf_phys])
+        phys_safe = jnp.where(
+            (phys >= 0) & (positions >= 0), phys, pool.num_pages
+        )
+        safe_tables = jnp.maximum(block_tables, 0)
+        pf_any = jnp.any(pf_ids >= 0)
+
+        from pie_tpu.models.llama import _paged_kv_positions
+
+        pf_kv_pos = _paged_kv_positions(pf_table[None], pf_ctx[None])
+        pf_mask_full = attention_mask(pf_positions[None], pf_kv_pos)
+        pf_mask_win = attention_mask(pf_positions[None], pf_kv_pos, win)
+
+        from pie_tpu.ops.rope import apply_rope_tables, rope_tables
+
+        (cos_l, sin_l), (cos_g, sin_g) = _rope_tables2(self, positions[None])
+
+        lp = params["layers"]
+        is_sliding = jnp.asarray(self.is_sliding)
+
+        def layer_fn(carry, xs):
+            p, sliding, li = xs
+            if quantized:
+                h, apk, apv, apks, apvs = carry
+            else:
+                h, apk, apv = carry
+            x = _gemma_rms(h, p["ln1"], eps)
+            q = linear(x, p["wq"]).reshape(1, m, hq, dh)
+            k = linear(x, p["wk"]).reshape(1, m, hkv, dh)
+            v = linear(x, p["wv"]).reshape(1, m, hkv, dh)
+            q = _gemma_rms(q, p["q_norm"], eps)
+            k = _gemma_rms(k, p["k_norm"], eps)
+            cos = jnp.where(sliding, cos_l, cos_g)
+            sin = jnp.where(sliding, sin_l, sin_g)
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
+
+            if quantized:
+                kq, ks = quantize_kv(k[0])
+                vq, vs = quantize_kv(v[0])
+                apk = apk.at[li, phys_safe, :, slot].set(kq, mode="drop")
+                apv = apv.at[li, phys_safe, :, slot].set(vq, mode="drop")
+                apks = apks.at[
+                    li, phys_safe, slot % fold, :, slot // fold
+                ].set(ks[..., 0], mode="drop")
+                apvs = apvs.at[
+                    li, phys_safe, slot % fold, :, slot // fold
+                ].set(vs[..., 0], mode="drop")
+                pk, pv = _dyn(apk, li), _dyn(apv, li)
+                pks, pvs = _dyn(apks, li), _dyn(apvs, li)
+            else:
+                pks = pvs = None
+                apk = apk.at[li, phys_safe, :, slot].set(
+                    k[0].astype(apk.dtype), mode="drop"
+                )
+                apv = apv.at[li, phys_safe, :, slot].set(
+                    v[0].astype(apv.dtype), mode="drop"
+                )
+                pk, pv = _dyn(apk, li), _dyn(apv, li)
+
+            q_dec = q[0, :b]
+            attn_full = paged_attention_xla(
+                q_dec, pk, pv, safe_tables, dec_ctx, scale,
+                pks if quantized else None, pvs if quantized else None,
+            )
+            attn_win = paged_attention_xla(
+                q_dec, pk, pv, safe_tables, dec_ctx, scale,
+                pks if quantized else None, pvs if quantized else None,
+                window=win,
+            )
+            attn_dec = jnp.where(sliding, attn_win, attn_full)
+
+            def rider_attn(_):
+                bt = jnp.maximum(pf_table, 0)[None]
+                q_pf = q[:, b:]
+                pf_mask = jnp.where(sliding, pf_mask_win, pf_mask_full)
+
+                def flat(a, w):
+                    return jnp.swapaxes(a, 2, 3).reshape(1, -1, hkv, w)
+
+                if quantized:
+                    unperm = paged_mod.unpermute_page_scales
+                    return sdpa_quantized(
+                        q_pf, flat(pk[bt], dh), flat(unperm(pks[bt]), 1),
+                        flat(pv[bt], dh), flat(unperm(pvs[bt]), 1),
+                        pf_mask, scale,
+                    )[0]
+                return sdpa(
+                    q_pf, flat(pk[bt], dh).astype(q.dtype),
+                    flat(pv[bt], dh).astype(q.dtype), pf_mask, scale,
+                )[0]
+
+            attn_pf = jax.lax.cond(
+                pf_any, rider_attn,
+                lambda _: jnp.zeros((cs, hq, dh), q.dtype), operand=None,
+            )
+            attn = jnp.concatenate([attn_dec, attn_pf])[None]
+            attn = _gemma_rms(
+                linear(attn.reshape(1, m, hq * dh), p["wo"]), p["ln2"], eps
+            )
+            h2 = h + attn
+            x = _gemma_rms(h2, p["ln3"], eps)
+            g = linear(x, p["wg"])
+            u = linear(x, p["wu"])
+            mlp = linear(jax.nn.gelu(g, approximate=True) * u, p["wd"])
+            h2 = h2 + _gemma_rms(mlp, p["ln4"], eps)
+            if quantized:
+                return (h2, apk, apv, apks, apvs), None
+            return (h2, apk, apv), None
+
+        idxs = jnp.arange(cfg.num_hidden_layers)
+        if quantized:
+            carry0 = (h, pool.k, pool.v, pool.k_scale, pool.v_scale)
+            carry, _ = jax.lax.scan(layer_fn, carry0, (lp, is_sliding, idxs))
+            h = carry[0]
+            pool = dataclasses.replace(
+                pool, k=carry[1], v=carry[2],
+                k_scale=carry[3], v_scale=carry[4],
+            )
+        else:
+            carry, _ = jax.lax.scan(
+                layer_fn, (h, pool.k, pool.v), (lp, is_sliding, idxs)
+            )
+            h = carry[0]
+            pool = dataclasses.replace(pool, k=carry[1], v=carry[2])
+        h = _gemma_rms(h[:, :b], params["norm"], eps)
+        logits = self.unembed(params, h)
+        return logits[0].astype(jnp.float32), pool
+
 
 # ---------------------------------------------------------------------------
 # SigLIP vision tower + projector

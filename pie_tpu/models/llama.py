@@ -111,6 +111,11 @@ class LlamaModel:
     #: "nohead"); set by benchmarks/ablate_decode.py, never in production.
     _ablate: frozenset = frozenset()
 
+    #: multi-chip serving: set to the ("dp", "tp") Mesh to pin activation
+    #: shardings inside the forward (with_sharding_constraint); None = let
+    #: XLA propagate from the param/cache shardings (single chip: no-op)
+    mesh = None
+
     def __init__(self, config: LlamaConfig):
         self.config = config
         self.inv_freq = jnp.asarray(
@@ -119,6 +124,15 @@ class LlamaModel:
                 config.rope_theta,
                 RopeScalingConfig.from_dict(config.rope_scaling),
             )
+        )
+
+    def _constrain(self, x: jax.Array, *spec) -> jax.Array:
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec(*spec))
         )
 
     # -- parameter construction ------------------------------------------
@@ -431,6 +445,11 @@ class LlamaModel:
                 h, ck_all, cv_all = carry
             x = rms_norm(h, _dyn(p["ln1"], i), eps)
             q, k, v = self._attn_proj(p, x, b, t, layer=i)
+            # Megatron layout: heads live on "tp" between the column- and
+            # row-parallel projections, residual stream replicated over tp
+            q = self._constrain(q, "dp", None, "tp", None)
+            k = self._constrain(k, "dp", None, "tp", None)
+            v = self._constrain(v, "dp", None, "tp", None)
             if "norope" not in _abl:
                 q = rope_fn(q)
                 k = rope_fn(k)
@@ -499,11 +518,14 @@ class LlamaModel:
                 )
             else:
                 attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+            attn = self._constrain(attn, "dp", None, "tp", None)
             h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
+            h = self._constrain(h, "dp", None, None)
 
             x = rms_norm(h, _dyn(p["ln2"], i), eps)
             if "nomlp" not in _abl:
                 h = h + self._mlp(p, x, layer=i)
+                h = self._constrain(h, "dp", None, None)
             if quantized:
                 return (h, ckq_all, cks_all, cvq_all, cvs_all), None
             return (h, ck_all, cv_all), None
@@ -715,6 +737,10 @@ class LlamaModel:
         pf_ctx: jax.Array,  # scalar int32 tokens in pool for rider lane
         #                     AFTER this slice (mask bound for rider attn)
         use_kernel: bool = True,
+        pf_embeds: Optional[jax.Array] = None,  # [Cs, D] rider embeddings
+        #   (VLM prompts: precomputed image-merged embeddings instead of
+        #   re-embedding placeholder ids)
+        pf_embeds_valid=True,  # scalar bool: rider slice carries embeds
     ):
         """ONE device program for a mixed continuous-batching step: every
         decode lane advances one token AND a chunk of prefill tokens rides
@@ -764,6 +790,11 @@ class LlamaModel:
         positions = jnp.concatenate([dec_positions, pf_positions])  # [M]
         cos, sin = rope_tables(positions[None], self.inv_freq)
         h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
+        if pf_embeds is not None:
+            pf_part = jnp.where(
+                pf_embeds_valid, pf_embeds.astype(h.dtype), h[0, b:]
+            )
+            h = jnp.concatenate([h[:, :b], pf_part[None]], axis=1)
 
         # physical page + slot per flat token
         page_idx = positions // paged_mod.PAGE_SIZE

@@ -80,6 +80,7 @@ def paged_attention_xla(
     scale: float,
     k_scale: Optional[jax.Array] = None,  # [P, f, Hkv, PAGE//f] (pool layout)
     v_scale: Optional[jax.Array] = None,
+    window: Optional[int] = None,  # sliding-window width (gemma-3 layers)
 ) -> jax.Array:
     b, hq, d = q.shape
     bt = jnp.maximum(block_tables, 0)
@@ -103,6 +104,9 @@ def paged_attention_xla(
         "bhrd,bshd->bhrs", qg, k.astype(jnp.float32)
     ) * scale
     valid = jnp.arange(s)[None, :] < context_lens[:, None]
+    if window is not None:
+        # decode query sits at position ctx-1: attend kv pos > q - window
+        valid &= jnp.arange(s)[None, :] >= (context_lens[:, None] - window)
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhrs,bshd->bhrd", probs, v.astype(jnp.float32))

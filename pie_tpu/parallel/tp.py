@@ -92,6 +92,27 @@ def cache_spec() -> P:
     return P(None, "dp", None, "tp", None)
 
 
+def shard_pool(pool, mesh: jax.sharding.Mesh):
+    """Shard the paged KV pool over the mesh: kv heads on "tp" (pages are a
+    GLOBAL pool shared by every dp lane — sequences on different lanes
+    allocate from the same page ids, so the page axis replicates across dp
+    while each tp shard stores its heads' slice of every page).
+
+    k/v [L, P, Hkv, PAGE, D] -> heads on tp; scales
+    [L, P, fold, Hkv, PAGE//fold] -> heads on tp."""
+    import dataclasses
+
+    kv = NamedSharding(mesh, P(None, None, "tp", None, None))
+    sc = NamedSharding(mesh, P(None, None, None, "tp", None))
+    return dataclasses.replace(
+        pool,
+        k=jax.device_put(pool.k, kv),
+        v=jax.device_put(pool.v, kv),
+        k_scale=jax.device_put(pool.k_scale, sc),
+        v_scale=jax.device_put(pool.v_scale, sc),
+    )
+
+
 def shard_cache(cache, mesh: jax.sharding.Mesh):
     import dataclasses
 
