@@ -45,33 +45,52 @@ def _sync(r):
     return float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
 
 
-def bench_op(fn, x, *consts, iters=50, reps=3):
-    """Time ``fn(x, *consts)`` amortized inside one jitted scan (the device
-    is behind a dispatch tunnel; per-call host timing is dominated by
-    round-trips). ``consts`` MUST be jit arguments — closing over device
+def bench_op(fn, x, *consts, iters_lo=16, iters_hi=144, reps=3):
+    """Time ``fn(x, *consts)`` amortized inside one jitted scan, using
+    DIFFERENTIAL timing: the axon dispatch tunnel costs ~20-25 ms per
+    host fetch, so any single measurement is fetch + iters*op. We run the
+    same scan at two lengths and take the slope — the fixed round-trip
+    cancels exactly. ``consts`` MUST be jit arguments — closing over device
     arrays embeds them as HLO constants (slow compile; the tunnel rejects
     >100MB programs with HTTP 413)."""
 
-    @jax.jit
-    def loop(x, *consts):
-        def body(c, _):
-            y = fn(c, *consts)
-            # nonlinear reduction of the FULL output as feedback: keeps the
-            # loop serial and blocks slice-sinking / sum-through-dot
-            # rewrites that would let XLA compute one output column
-            fb = (y * y).sum(-1, keepdims=True).astype(c.dtype)
-            c2 = c * 0.999 + fb * jnp.asarray(1e-8, c.dtype)
-            return c2, ()
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c
+    def make(iters):
+        @jax.jit
+        def loop(x, *consts):
+            def body(c, _):
+                y = fn(c, *consts)
+                # nonlinear reduction of the FULL output as feedback: keeps
+                # the loop serial and blocks slice-sinking / sum-through-dot
+                # rewrites that would let XLA compute one output column
+                fb = (y * y).sum(-1, keepdims=True).astype(c.dtype)
+                c2 = c * 0.999 + fb * jnp.asarray(1e-8, c.dtype)
+                return c2, ()
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return c
+        return loop
 
-    _sync(loop(x, *consts))
-    best = float("inf")
-    for _ in range(reps):
+    lo = make(iters_lo)
+    _sync(lo(x, *consts))
+    # calibrate: crude op estimate assuming ~20 ms fetch, then size the long
+    # scan so its compute (~0.3 s) dwarfs ms-level fetch jitter
+    t0 = time.perf_counter()
+    _sync(lo(x, *consts))
+    est = max((time.perf_counter() - t0 - 0.020) / iters_lo, 2e-6)
+    iters_hi = iters_lo + int(min(max(0.3 / est, 512), 50_000))
+    hi = make(iters_hi)
+    _sync(hi(x, *consts))
+    # (min(t_hi) - min(t_lo)) / delta: the per-run minima are stable floors,
+    # while min-of-paired-differences picks the most jitter-distorted pair
+    # (it can even go negative / read above HBM peak)
+    t_los, t_his = [], []
+    for _ in range(reps + 2):
         t0 = time.perf_counter()
-        _sync(loop(x, *consts))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        _sync(lo(x, *consts))
+        t_los.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(hi(x, *consts))
+        t_his.append(time.perf_counter() - t0)
+    return (min(t_his) - min(t_los)) / (iters_hi - iters_lo)
 
 
 def qt_bytes(qt):

@@ -33,25 +33,16 @@ def sync(r):
     return float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
 
 
-def bench_tiles(qt, x, bn, bk, iters=30):
+def bench_tiles(qt, x, bn, bk):
+    """Differential timing (see prof_decode.bench_op): the ~20 ms axon
+    fetch round-trip cancels between two scan lengths."""
     from pie_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+    from benchmarks.prof_decode import bench_op
 
-    @jax.jit
-    def loop(x, qt):
-        def body(c, _):
-            y = quant_matmul_pallas(c, qt, bn=bn, bk=bk)
-            fb = (y * y).sum(-1, keepdims=True).astype(c.dtype)
-            return c * 0.999 + fb * jnp.asarray(1e-8, c.dtype), ()
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c
+    def op(c, qt):
+        return quant_matmul_pallas(c, qt, bn=bn, bk=bk)
 
-    sync(loop(x, qt))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sync(loop(x, qt))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return bench_op(op, x, qt)
 
 
 def main():

@@ -34,10 +34,12 @@ from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
 from pie_tpu.ops.quant import QuantizedTensor, quantized_matmul
 from pie_tpu.ops.rope import (
     RopeScalingConfig,
+    apply_rope_cs,
     apply_rope_matrix,
     apply_rope_tables,
     make_inv_freq,
     rope_matrix,
+    rope_qkv_cs,
     rope_tables,
 )
 
@@ -69,23 +71,35 @@ class LlamaConfig(BaseConfig):
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
 
-def linear(x: jax.Array, w, bias=None, layer=None) -> jax.Array:
+def linear(
+    x: jax.Array, w, bias=None, layer=None, rope_cs=None, rope_dim=0
+) -> jax.Array:
     """Apply a (possibly quantized) linear layer.
 
     w is [K, N] / QuantizedTensor, or — when ``layer`` is given — the
     layer-stacked [L, K, N] variant indexed by a traced layer id (the
     quantized path reads the selected layer inside the Pallas kernel with
     zero slice copy; dense stacked weights use a dynamic slice which XLA
-    fuses into the dot)."""
+    fuses into the dot).
+
+    rope_cs/rope_dim: fused rope epilogue for a bias-free fused-QKV
+    projection (ops/rope.py:rope_qkv_cs)."""
     if isinstance(w, QuantizedTensor):
-        y = quantized_matmul(x, w, layer=layer)
+        y = quantized_matmul(x, w, layer=layer, rope_cs=rope_cs,
+                             rope_dim=rope_dim)
     else:
         if layer is not None and w.ndim == 3:
             w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.dot(
             x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
+        if rope_dim:
+            shp = y.shape
+            y = apply_rope_cs(
+                y.reshape(-1, shp[-1]), rope_cs[0], rope_cs[1], rope_dim
+            ).reshape(shp)
     if bias is not None:
+        assert rope_dim == 0, "rope epilogue requires a bias-free projection"
         if layer is not None and bias.ndim == 2:
             bias = jax.lax.dynamic_index_in_dim(bias, layer, 0, keepdims=False)
         y = y + bias.astype(y.dtype)
@@ -341,12 +355,13 @@ class LlamaModel:
 
     # -- projection helpers (fused or per-matrix) -------------------------
 
-    def _attn_proj(self, p, x, b, t, layer=None):
+    def _attn_proj(self, p, x, b, t, layer=None, rope_cs=None, rope_dim=0):
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         if "wqkv" in p:
-            y = linear(x, p["wqkv"], layer=layer)
+            y = linear(x, p["wqkv"], layer=layer, rope_cs=rope_cs,
+                       rope_dim=rope_dim)
             nq, nk = hq * dh, hkv * dh
             q = y[..., :nq]
             k = y[..., nq : nq + nk]
@@ -423,10 +438,23 @@ class LlamaModel:
             valid = jnp.arange(t)[None, :] < valid_lens[:, None]
             write_slots = jnp.where(valid, write_slots, cache.capacity)
         batch_idx = jnp.arange(b)[:, None]
-        # rope hoisted out of the layer scan; decode (T==1) uses the MXU
-        # rotation matrix — the elementwise rotate-half's lane shuffles
-        # cost ~1.4 ms/token at 8B (see ops/rope.py:rope_matrix)
-        if t == 1:
+        # rope hoisted out of the layer scan. Decode (T==1) with a fused
+        # bias-free QKV projection folds the rotation INTO the projection
+        # kernel's f32-accumulator epilogue (ops/quant_matmul_pallas.py:
+        # _rope_epilogue) — standalone per-layer rope kernels cost
+        # ~1.25 ms/token at 8B (2 launches x 32 layers, ablation-measured);
+        # the epilogue rides the HBM-bound matmul for free.
+        fused_rope = (
+            t == 1 and "wqkv" in params["layers"] and dh in (64, 128)
+            and "norope" not in self._ablate
+        )
+        rope_cs = None
+        if fused_rope:
+            rope_cs = rope_qkv_cs(
+                positions[:, 0], self.inv_freq, hq, hkv, dh
+            )
+            rope_fn = lambda x: x
+        elif t == 1:
             rot = rope_matrix(positions, self.inv_freq, dh)
             rope_fn = lambda x: apply_rope_matrix(x, rot)
         else:
@@ -444,13 +472,16 @@ class LlamaModel:
             else:
                 h, ck_all, cv_all = carry
             x = rms_norm(h, _dyn(p["ln1"], i), eps)
-            q, k, v = self._attn_proj(p, x, b, t, layer=i)
+            q, k, v = self._attn_proj(
+                p, x, b, t, layer=i, rope_cs=rope_cs,
+                rope_dim=dh if fused_rope else 0,
+            )
             # Megatron layout: heads live on "tp" between the column- and
             # row-parallel projections, residual stream replicated over tp
             q = self._constrain(q, "dp", None, "tp", None)
             k = self._constrain(k, "dp", None, "tp", None)
             v = self._constrain(v, "dp", None, "tp", None)
-            if "norope" not in _abl:
+            if "norope" not in _abl and not fused_rope:
                 q = rope_fn(q)
                 k = rope_fn(k)
 

@@ -313,6 +313,8 @@ def quantized_matmul(
     qt: QuantizedTensor,
     impl: Optional[str] = None,
     layer: Optional[jax.Array] = None,
+    rope_cs=None,
+    rope_dim: int = 0,
 ) -> jax.Array:
     """``y = x @ W`` with W group-wise quantized in KN layout.
 
@@ -322,6 +324,10 @@ def quantized_matmul(
     layer: for layer-stacked weights ([L, ...] arrays), the (traced) layer
     index — the Pallas kernel DMAs the selected layer's blocks straight
     from HBM with no slice copy (see quant_matmul_stacked).
+    rope_cs/rope_dim: fused-QKV rope epilogue — (cos, sin) [M, N] rows from
+    ops/rope.py:rope_qkv_cs plus the head_dim; applied inside the Pallas
+    kernel (free on the HBM-bound decode path) or as one fused elementwise
+    pass after the XLA fallback dot.
     """
     stacked = qt.packed.ndim == 3
     if stacked and layer is None:
@@ -343,9 +349,13 @@ def quantized_matmul(
         if k != qt.padded_k:
             xm = jnp.pad(xm, [(0, 0), (0, qt.padded_k - k)])
         if stacked:
-            y = quant_matmul_stacked(xm, layer, qt)
+            y = quant_matmul_stacked(
+                xm, layer, qt, rope_cs=rope_cs, rope_dim=rope_dim
+            )
         else:
-            y = quant_matmul_pallas(xm, qt)
+            y = quant_matmul_pallas(
+                xm, qt, rope_cs=rope_cs, rope_dim=rope_dim
+            )
     elif impl == "xla":
         if stacked:
             qt = jax.tree.map(
@@ -353,6 +363,10 @@ def quantized_matmul(
                 qt,
             )
         y = _matmul_xla(xm, qt)
+        if rope_dim:
+            from pie_tpu.ops.rope import apply_rope_cs
+
+            y = apply_rope_cs(y, rope_cs[0], rope_cs[1], rope_dim)
     else:
         raise ValueError(f"unknown impl {impl!r}")
     return y.reshape(*batch_shape, qt.shape[1])

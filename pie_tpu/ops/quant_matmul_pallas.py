@@ -49,10 +49,13 @@ from pie_tpu.ops.quant import PACK_TILE_K, QuantizedTensor
 DEFAULT_BM = 256
 DEFAULT_BN = 512
 DEFAULT_BK = 512
-# Decode (small M): fewer, larger grid steps (measured on v5e: bk=4096 /
-# bn=2048 streams the int4 planes at ~850-980 GB/s vs ~560 at 2048/1024).
+# Decode (small M): bn=2048 / bk=2048 wins on every Llama-3-8B decode shape
+# (differential-timed sweep on v5e, benchmarks/sweep_tiles.py: wqkv 719,
+# wo 773, wgu 721, wd 727, lm_head 749 GB/s; bk=4096 loses 15-25% on the
+# K=4096 shapes — the earlier 850-980 GB/s reading for bk=4096 was an
+# artifact of single-ended timing over the ~20 ms axon fetch round-trip).
 DECODE_BN = 2048
-DECODE_BK = 4096
+DECODE_BK = 2048
 # scoped-VMEM budget for tile selection: 16 MB hardware limit less slack
 # for Mosaic's own scratch
 VMEM_BUDGET = 12 * 1024 * 1024
@@ -93,8 +96,25 @@ def _row_repeat(a: jax.Array, r: int) -> jax.Array:
     return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
 
 
+def _rope_epilogue(y: jax.Array, cos: jax.Array, sin: jax.Array,
+                   half: int) -> jax.Array:
+    """Rotate dh-aligned head groups of the f32 tile y [bm, bn] in place:
+    ``y*cos + roll_half(y)*sin`` with the rotate-half sign carried by sin
+    (see ops/rope.py:rope_qkv_cs). Requires (2*half) | bn so the lane roll
+    never crosses a head (or tile) boundary on any SELECTED lane — rolled
+    wrap-around values land only on lanes the where() discards."""
+    dh = 2 * half
+    bn = y.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    fwd = pltpu.roll(y, bn - half, 1)   # fwd[l] = y[(l + half) % bn]
+    bwd = pltpu.roll(y, half, 1)        # bwd[l] = y[(l - half) % bn]
+    r = jnp.where(lane % dh < half, fwd, bwd)
+    return y * cos + r * sin
+
+
 def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
-            bits: int, group_size: int, bk: int, bm: int, out_dtype):
+            bits: int, group_size: int, bk: int, bm: int, out_dtype,
+            cos_ref=None, sin_ref=None, rope_half: int = 0):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -183,11 +203,14 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
 
     @pl.when(kk == nk - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_dtype)
+        y = acc_ref[:]
+        if rope_half:
+            y = _rope_epilogue(y, cos_ref[:], sin_ref[:], rope_half)
+        out_ref[:] = y.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+    jax.jit, static_argnames=("bm", "bn", "bk", "rope_dim", "interpret")
 )
 def quant_matmul_pallas(
     x: jax.Array,
@@ -195,9 +218,16 @@ def quant_matmul_pallas(
     bm: int | None = None,
     bn: int | None = None,
     bk: int | None = None,
+    rope_cs=None,
+    rope_dim: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """x: [M, K_padded] -> [M, N]. K_padded = qt.padded_k."""
+    """x: [M, K_padded] -> [M, N]. K_padded = qt.padded_k.
+
+    rope_cs/rope_dim: optional fused-QKV rope epilogue — (cos, sin) rows
+    [M, N] from ops/rope.py:rope_qkv_cs and the head_dim; the rotation is
+    applied to the f32 accumulator before the output cast, costing nothing
+    on the HBM-bound decode path."""
     m, kpad = x.shape
     assert kpad == qt.padded_k, (kpad, qt.padded_k)
     n = qt.shape[1]
@@ -219,26 +249,45 @@ def quant_matmul_pallas(
     # 8 or span the whole array, so cover at least 8 groups per K tile.
     bk = min(max(bk, 8 * g), kpad)
     bn, bk = _fit_tiles(bm, bn, bk, ep, g)
+    if rope_dim:
+        assert rope_cs is not None and bn % rope_dim == 0, (bn, rope_dim)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
 
     kernel = functools.partial(
-        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype
+        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype,
+        rope_half=rope_dim // 2,
     )
+    if rope_dim:
+        base = kernel
+
+        def kernel(x_ref, packed_ref, scales_ref, biases_ref, cos_ref,
+                   sin_ref, out_ref, acc_ref):
+            base(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref,
+                 cos_ref=cos_ref, sin_ref=sin_ref)
+
     flops = 2 * m * n * kpad
     bytes_accessed = (
         kpad * n // ep * 4 + 2 * (kpad // g) * n * qt.scales.dtype.itemsize
         + m * kpad * x.dtype.itemsize + m * n * x.dtype.itemsize
     )
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk // ep, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, qt.packed, qt.scales, qt.biases]
+    if rope_dim:
+        in_specs += [
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        ]
+        operands += [rope_cs[0], rope_cs[1]]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk // ep, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -249,7 +298,7 @@ def quant_matmul_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x, qt.packed, qt.scales, qt.biases)
+    )(*operands)
 
 
 def _stacked_index_maps():
@@ -264,7 +313,7 @@ def _stacked_index_maps():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+    jax.jit, static_argnames=("bm", "bn", "bk", "rope_dim", "interpret")
 )
 def quant_matmul_stacked(
     x: jax.Array,
@@ -273,6 +322,8 @@ def quant_matmul_stacked(
     bm: int | None = None,
     bn: int | None = None,
     bk: int | None = None,
+    rope_cs=None,
+    rope_dim: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ W[layer]`` for layer-stacked quantized weights.
@@ -303,10 +354,13 @@ def quant_matmul_stacked(
     bn = min(bn, _round_up(n, 128))
     bk = min(max(bk, 8 * g), kpad)
     bn, bk = _fit_tiles(bm, bn, bk, ep, g)
+    if rope_dim:
+        assert rope_cs is not None and bn % rope_dim == 0, (bn, rope_dim)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
     kernel = functools.partial(
-        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype
+        _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype,
+        rope_half=rope_dim // 2,
     )
     xmap, pmap, smap, bmap = _stacked_index_maps()
     flops = 2 * m * n * kpad
@@ -314,23 +368,38 @@ def quant_matmul_stacked(
         kpad * n // ep * 4 + 2 * (kpad // g) * n * qt.scales.dtype.itemsize
         + m * kpad * x.dtype.itemsize + m * n * x.dtype.itemsize
     )
+    in_specs = [
+        pl.BlockSpec((bm, bk), xmap),
+        pl.BlockSpec((1, bk // ep, bn), pmap),
+        pl.BlockSpec((1, bk // g, bn), smap),
+        pl.BlockSpec((1, bk // g, bn), bmap),
+    ]
+    operands = [x, qt.packed, qt.scales, qt.biases]
+    if rope_dim:
+        in_specs += [
+            pl.BlockSpec((bm, bn), lambda i, j, k, s: (i, j)),
+            pl.BlockSpec((bm, bn), lambda i, j, k, s: (i, j)),
+        ]
+        operands += [rope_cs[0], rope_cs[1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), xmap),
-            pl.BlockSpec((1, bk // ep, bn), pmap),
-            pl.BlockSpec((1, bk // g, bn), smap),
-            pl.BlockSpec((1, bk // g, bn), bmap),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, s: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
 
-    def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
-                       out_ref, acc_ref):
-        kernel(x_ref, packed_ref.at[0], scales_ref.at[0], biases_ref.at[0],
-               out_ref, acc_ref)
+    if rope_dim:
+        def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
+                           cos_ref, sin_ref, out_ref, acc_ref):
+            kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
+                   biases_ref.at[0], out_ref, acc_ref,
+                   cos_ref=cos_ref, sin_ref=sin_ref)
+    else:
+        def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
+                           out_ref, acc_ref):
+            kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
+                   biases_ref.at[0], out_ref, acc_ref)
 
     return pl.pallas_call(
         kernel_stacked,
@@ -343,8 +412,7 @@ def quant_matmul_stacked(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, qt.packed, qt.scales,
-      qt.biases)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
 
 
 def _round_up(v: int, m: int) -> int:

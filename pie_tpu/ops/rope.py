@@ -106,6 +106,56 @@ def apply_rope(
     return apply_rope_tables(x, cos, sin)
 
 
+def rope_qkv_cs(
+    positions: jax.Array, inv_freq: jax.Array, hq: int, hkv: int, dh: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position cos/sin epilogue rows for a FUSED QKV projection.
+
+    Returns (C, S) with shape [B, (hq + 2*hkv) * dh] f32 such that
+    ``apply_rope_cs(y, C, S, dh)`` rotates the q and k column groups of the
+    fused projection output and leaves the v columns untouched (C=1, S=0).
+    The rotate-half sign lives in S (negative on each head's first half), so
+    consumers only need ``y*C + roll_half(y)*S`` — the form the quantized
+    matmul kernel applies as a free epilogue on its f32 accumulator
+    (ops/quant_matmul_pallas.py), which removed the ~1.25 ms/token that
+    standalone per-layer rope kernels cost on the 8B decode ablation.
+
+    positions: [B] int32 (one position per row of the [B, N] projection).
+    """
+    b = positions.shape[0]
+    freqs = positions[:, None].astype(jnp.float32) * inv_freq  # [B, dh/2]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    cos_h = jnp.concatenate([cos, cos], axis=-1)  # [B, dh]
+    sin_h = jnp.concatenate([-sin, sin], axis=-1)
+    nrot = hq + hkv
+    ones = jnp.ones((b, hkv * dh), jnp.float32)
+    zeros = jnp.zeros((b, hkv * dh), jnp.float32)
+    c = jnp.concatenate([jnp.tile(cos_h, (1, nrot)), ones], axis=-1)
+    s = jnp.concatenate([jnp.tile(sin_h, (1, nrot)), zeros], axis=-1)
+    return c, s
+
+
+def apply_rope_cs(
+    y: jax.Array, c: jax.Array, s: jax.Array, dh: int
+) -> jax.Array:
+    """Reference epilogue for :func:`rope_qkv_cs` (XLA fallback + tests).
+
+    y: [B, N] fused projection output; c/s: [B, N] from rope_qkv_cs.
+    Equivalent to split-half rotation per dh-sized head group: the rolled
+    value y[l +/- dh/2] is selected per lane so the roll never crosses a
+    head boundary (head groups are dh-aligned in the fused layout).
+    """
+    half = dh // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+    yf = y.astype(jnp.float32)
+    r = jnp.where(
+        lane % dh < half,
+        jnp.roll(yf, -half, axis=-1),
+        jnp.roll(yf, half, axis=-1),
+    )
+    return (yf * c + r * s).astype(y.dtype)
+
+
 def rope_matrix(positions: jax.Array, inv_freq: jax.Array, d: int):
     """Rotation as a matrix: R[p] with x_rot = x @ R (split-half
     convention), built ONCE per decode step.

@@ -178,3 +178,60 @@ def test_sdpa_quantized_matches_dequantized_sdpa():
     np.testing.assert_allclose(
         np.asarray(out_q), np.asarray(out_ref), rtol=0, atol=0.03
     )
+
+
+@pytest.mark.parametrize("dh", [64, 128])
+def test_rope_epilogue_kernel_matches_reference(dh):
+    """Fused-QKV rope epilogue inside the Pallas kernel (interpret mode) ==
+    plain matmul followed by apply_rope_cs; and apply_rope_cs itself ==
+    split-head table rope with v columns untouched."""
+    import jax.numpy as jnp
+
+    from pie_tpu.ops.quant import quantize
+    from pie_tpu.ops.quant_matmul_pallas import quant_matmul_stacked
+    from pie_tpu.ops.rope import (
+        apply_rope_cs,
+        apply_rope_tables,
+        make_inv_freq,
+        rope_qkv_cs,
+        rope_tables,
+    )
+
+    hq, hkv = 8, 2
+    k_dim, n = 512, (hq + 2 * hkv) * dh
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (2, k_dim, n), jnp.float32) * 0.02
+    qt = jax.vmap(lambda m: quantize(m, 64, 4))(w)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, k_dim), jnp.bfloat16)
+    pos = jnp.array([42], jnp.int32)
+    inv = jnp.asarray(make_inv_freq(dh, 500000.0))
+    cs = rope_qkv_cs(pos, inv, hq, hkv, dh)
+
+    base = quant_matmul_stacked(x, jnp.int32(1), qt, interpret=True)
+    ref = apply_rope_cs(base, cs[0], cs[1], dh)
+    out = quant_matmul_stacked(
+        x, jnp.int32(1), qt, rope_cs=cs, rope_dim=dh, interpret=True
+    )
+    scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0, atol=0.02 * scale,
+    )
+
+    # apply_rope_cs == table rope on the q/k groups, identity on v
+    y = jax.random.normal(key, (3, n), jnp.float32)
+    pos3 = jnp.array([5, 17, 123], jnp.int32)
+    c3, s3 = rope_qkv_cs(pos3, inv, hq, hkv, dh)
+    got = apply_rope_cs(y, c3, s3, dh)
+    nq, nk = hq * dh, hkv * dh
+    cos, sin = rope_tables(pos3[:, None], inv)
+    qr = apply_rope_tables(
+        y[:, :nq].reshape(3, 1, hq, dh), cos, sin
+    ).reshape(3, nq)
+    kr = apply_rope_tables(
+        y[:, nq:nq + nk].reshape(3, 1, hkv, dh), cos, sin
+    ).reshape(3, nk)
+    want = jnp.concatenate([qr, kr, y[:, nq + nk:]], -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-5
+    )
