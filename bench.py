@@ -141,6 +141,82 @@ def run_geometry(config, steps, chunk, max_seq_len, ttft_prompt=None):
     return tok_s, wbytes, ttft
 
 
+def bench_paged(config, lanes=8, prompt_len=64, new_tokens=128):
+    """Charter config #3: INT8 paged KV + continuous batching on one chip.
+
+    Measures (a) aggregate decode tok/s with ``lanes`` concurrent sequences
+    via the Scheduler's chunked mixed program, and (b) TTFT of a 512-token
+    prompt admitted while 7 lanes are decode-busy (the prefill-rider
+    scenario mixed_forward exists for, ref include/engine/
+    batch_details.hpp:10-88).
+    """
+    import time as _t
+
+    from pie_tpu.engine.scheduler import PagedEngine, Scheduler
+    from pie_tpu.models.llama import LlamaModel
+
+    model = LlamaModel(config)
+    log(f"bench[paged]: init quantized params ({config.num_hidden_layers} layers)")
+    params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
+    engine = PagedEngine(
+        model, params, num_lanes=lanes, num_pages=112, max_pages_per_seq=12,
+        kv_quantized=True,
+    )
+    sched = Scheduler(engine, decode_steps=16)
+    prompt = list(range(1, prompt_len + 1))
+
+    log("bench[paged]: warmup/compile (prefill + mixed chunk programs)")
+    sched.add_request(prompt, max_new_tokens=17, temperature=0.0)
+    sched.run_to_completion()
+
+    # (a) aggregate decode throughput at `lanes` lanes
+    log(f"bench[paged]: timing {lanes}-lane aggregate decode")
+    best = 0.0
+    for _ in range(2):
+        seqs = [
+            sched.add_request(prompt, max_new_tokens=new_tokens,
+                              temperature=0.0)
+            for _ in range(lanes)
+        ]
+        t0 = _t.perf_counter()
+        sched.run_to_completion()
+        dt = _t.perf_counter() - t0
+        total = sum(len(s.output_ids) for s in seqs)
+        best = max(best, total / dt)
+
+    # (b) TTFT of a 512-token prompt admitted while 7 lanes decode
+    log("bench[paged]: TTFT under decode load")
+    busy = [
+        sched.add_request(prompt, max_new_tokens=400, temperature=0.0)
+        for _ in range(lanes - 1)
+    ]
+    while any(not s.output_ids for s in busy):
+        sched.step()
+    # untimed warmup admission: compiles the rider-chunk shape a 512-token
+    # prompt needs (chunk programs compile per distinct step count)
+    warm = sched.add_request(
+        list(range(1, 513)), max_new_tokens=8, temperature=0.0
+    )
+    while warm.finish_reason is None:
+        sched.step()
+    ttfts = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        late = sched.add_request(
+            list(range(1, 513)), max_new_tokens=8, temperature=0.0
+        )
+        while not late.output_ids:
+            sched.step()
+        ttfts.append(_t.perf_counter() - t0)
+        while late.finish_reason is None:
+            sched.step()
+    for s in busy:
+        s.cancelled = True
+    sched.run_to_completion()
+    ttfts.sort()
+    return best, ttfts[len(ttfts) // 2]
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     gbps = HBM_GBPS.get("v5e", 819.0)
@@ -174,6 +250,8 @@ def main():
         llama32_1b_config(), steps=257, chunk=64, max_seq_len=512,
     )
     roof1 = gbps * 1e9 / bytes1
+    # charter config #3: INT8 paged KV + continuous batching (8 lanes)
+    paged_tok, ttft_load = bench_paged(llama3_8b_config())
 
     out = {
         "metric": "llama3-8b_int4g64_b1_decode",
@@ -187,6 +265,8 @@ def main():
             "1b_vs_roofline": round(tok1 / roof1, 4),
             "weight_bytes_8b": bytes8,
             "weight_bytes_1b": bytes1,
+            "8b_paged8_int8kv_tok_s": round(paged_tok, 2),
+            "8b_ttft_under_load_p50_ms": round(ttft_load * 1e3, 1),
         },
     }
     print(json.dumps(out))

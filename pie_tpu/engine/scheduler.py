@@ -120,7 +120,11 @@ class PagedEngine:
         num_pages: int = 512,
         max_pages_per_seq: int = 32,
         prefill_chunk: int = 256,
-        rider_width: int = 64,
+        # rider sized so M = num_lanes + rider_width = 256 stays a single
+        # m-tile of the quant matmul: a mixed step costs ~the same whether
+        # the rider carries 64 or 248 prompt tokens (the weight stream
+        # dominates), so wider riders prefill ~4x more tokens per stream
+        rider_width: int = 248,
         kv_dtype=jnp.bfloat16,
         kv_quantized: bool = False,
         history_len: int = 64,
@@ -165,6 +169,7 @@ class PagedEngine:
             self._chunk_impl, donate_argnames=("pool",),
             static_argnames=(
                 "num_steps", "sampler_kind", "use_mask", "use_embeds",
+                "use_rider",
             ),
         )
 
@@ -242,6 +247,7 @@ class PagedEngine:
         sampler_kind: str = "auto",
         use_mask: bool = False,
         use_embeds: bool = False,
+        use_rider: bool = True,
     ):
         """N mixed continuous-batching steps fully on-device (one host sync
         per chunk instead of per token): every step advances all live decode
@@ -251,6 +257,13 @@ class PagedEngine:
         On-device stop handling mirrors EngineCore._decode_impl: stop-token
         and length detection freeze a lane (done mask) and further steps
         emit PAD.
+
+        use_rider=False compiles a decode-only chunk: no prefill slices are
+        scheduled, so every step runs ``paged_forward`` at M = num_lanes
+        instead of ``mixed_forward`` at M = num_lanes + rider_width. This
+        keeps steady-state decode on the small-M fast path (post-scale
+        quant matmul + fused rope epilogue) — the always-mixed program cost
+        ~7x per step at 8 lanes + a 64-wide rider.
         """
 
         def step(carry, xs):
@@ -266,15 +279,22 @@ class PagedEngine:
             active = ~done & (cnt < chunk_budget)
             dec_pos = jnp.where(active, ctx, -1)
             dec_ctx = jnp.where(active, ctx + 1, 1)
-            extra = (
-                {"pf_embeds": pf_emb, "pf_embeds_valid": pf_euse}
-                if use_embeds
-                else {}
-            )
-            logits, pool = self.model.mixed_forward(
-                params, pool, last, dec_pos, dec_ctx, block_tables,
-                pf_ids, pf_pos, pf_lane, pf_ctx, **extra,
-            )
+            if use_rider:
+                extra = (
+                    {"pf_embeds": pf_emb, "pf_embeds_valid": pf_euse}
+                    if use_embeds
+                    else {}
+                )
+                logits, pool = self.model.mixed_forward(
+                    params, pool, last, dec_pos, dec_ctx, block_tables,
+                    pf_ids, pf_pos, pf_lane, pf_ctx, **extra,
+                )
+            else:
+                logits, pool = self.model.paged_forward(
+                    params, last[:, None], pool, block_tables,
+                    dec_pos[:, None], dec_ctx,
+                )
+                logits = logits[:, 0]
             logits = repetition_penalty(logits, hist, pen_rep)
             logits = presence_frequency_penalty(
                 logits, hist, pen_pres, pen_freq
@@ -404,13 +424,28 @@ class Scheduler:
         drops to ONE step: a constraint mask is valid for exactly one choice
         point, so the host must see each constrained token before building
         the next mask (reference engine/inference_engine.py:241-271 per-token
-        loop). Forced-token runs still batch through the prefill rider."""
+        loop). Forced-token runs still batch through the prefill rider.
+
+        While prefill work is pending the chunk is sized to exactly the
+        rider slices needed (capped at decode_steps): a mixed step costs a
+        full prefill-sized weight stream (~4-5x a decode step), so padding
+        a 16-step chunk with empty rider slots would burn ~0.5 s of slow
+        steps per admission. Steady-state decode chunks stay at
+        decode_steps on the decode-only fast program (use_rider=False)."""
         self._admit()
-        n = (
-            1
-            if any(s.machine is not None for s in self.running.values())
-            else self.decode_steps
-        )
+        if any(s.machine is not None for s in self.running.values()):
+            n = 1
+        else:
+            cs = self.engine.rider_width
+            need = 0
+            for s in self.running.values():
+                if s.status == SeqStatus.PREFILLING:
+                    rem = len(s.pending) - 1 - s.prefill_pos
+                    if rem > 0:
+                        need += -(-rem // cs)
+                    else:
+                        need += 1  # wake-only: one step slot
+            n = min(need, self.decode_steps) if need else self.decode_steps
         plan = self._plan_chunk(n)
         if plan is None:
             return []
@@ -689,6 +724,8 @@ class Scheduler:
             sampler_kind=skind,
             use_mask=use_mask,
             use_embeds=plan["pf_embeds"] is not None,
+            use_rider=bool((plan["pf_ids"] >= 0).any())
+            or not hasattr(e.model, "paged_forward"),
         )
         emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
         # np.array (not asarray): device->host views are read-only and the

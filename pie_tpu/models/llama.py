@@ -624,7 +624,16 @@ class LlamaModel:
         h = self.embed(params, input_ids)
         b, t = h.shape[0], h.shape[1]
         decode = t == 1
-        if decode:
+        # decode rope fused into the QKV projection epilogue (same trick as
+        # __call__; saves ~1.25 ms/token at 8B vs standalone rope kernels)
+        fused_rope = (
+            decode and "wqkv" in params["layers"] and dh in (64, 128)
+        )
+        rope_cs = None
+        if fused_rope:
+            rope_cs = rope_qkv_cs(positions[:, 0], self.inv_freq, hq, hkv, dh)
+            rope_fn = lambda x: x
+        elif decode:
             rot = rope_matrix(positions, self.inv_freq, dh)
             rope_fn = lambda x: apply_rope_matrix(x, rot)
         else:
@@ -662,9 +671,13 @@ class LlamaModel:
             else:
                 h, apk, apv = carry
             x = rms_norm(h, _dyn(lp["ln1"], i), eps)
-            q, k, v = self._attn_proj(lp, x, b, t, layer=i)
-            q = rope_fn(q)
-            k = rope_fn(k)
+            q, k, v = self._attn_proj(
+                lp, x, b, t, layer=i, rope_cs=rope_cs,
+                rope_dim=dh if fused_rope else 0,
+            )
+            if not fused_rope:
+                q = rope_fn(q)
+                k = rope_fn(k)
 
             # pool is head-major [L, P, Hkv, PAGE, D]; the advanced indices
             # around the head slice keep values in natural [B, T, Hkv, ...]
@@ -679,17 +692,26 @@ class LlamaModel:
                 apvs = apvs.at[
                     i, phys_safe, slot % fold, :, slot // fold
                 ].set(vs[..., 0], mode="drop")
-                pk, pv = _dyn(apk, i), _dyn(apv, i)
-                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
-                pks = pvs = None
                 apk = apk.at[i, phys_safe, :, slot].set(
                     k.astype(apk.dtype), mode="drop"
                 )
                 apv = apv.at[i, phys_safe, :, slot].set(
                     v.astype(apv.dtype), mode="drop"
                 )
-                pk, pv = _dyn(apk, i), _dyn(apv, i)
+
+            # per-layer pool slice for the attention ops. NOTE: a stacked
+            # kernel that indexes [layer, page] inside its DMAs exists
+            # (paged_attention_decode_stacked) and would avoid these
+            # ~30 MB/layer slice copies, but Mosaic runs ~3x slower per
+            # call when the ANY-space operand is the full 235 MB pool
+            # (measured: 22 us/layer on a [P, ...] slice vs 60 us on the
+            # [L*P, ...] view, scaling with operand size) — slicing wins.
+            pk, pv = _dyn(apk, i), _dyn(apv, i)
+            if quantized:
+                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
+            else:
+                pks = pvs = None
 
             if decode:
                 if use_kernel and jax.default_backend() == "tpu":
@@ -819,7 +841,14 @@ class LlamaModel:
 
         flat_ids = jnp.concatenate([dec_tokens, pf_ids])  # [M]
         positions = jnp.concatenate([dec_positions, pf_positions])  # [M]
-        cos, sin = rope_tables(positions[None], self.inv_freq)
+        # rope fused into the QKV projection epilogue (one C/S row per flat
+        # token; pad rows rotate by garbage angles but their K is dropped and
+        # their attention output discarded)
+        fused_rope = "wqkv" in params["layers"] and dh in (64, 128)
+        if fused_rope:
+            rope_cs = rope_qkv_cs(positions, self.inv_freq, hq, hkv, dh)
+        else:
+            cos, sin = rope_tables(positions[None], self.inv_freq)
         h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
         if pf_embeds is not None:
             pf_part = jnp.where(
@@ -859,9 +888,14 @@ class LlamaModel:
             else:
                 h, apk, apv = carry
             x = rms_norm(h, _dyn(lp["ln1"], i), eps)
-            q, k, v = self._attn_proj(lp, x, 1, m, layer=i)  # [1, M, H, dh]
-            q = apply_rope_tables(q, cos, sin)
-            k = apply_rope_tables(k, cos, sin)
+            q, k, v = self._attn_proj(
+                lp, x, 1, m, layer=i,
+                rope_cs=rope_cs if fused_rope else None,
+                rope_dim=dh if fused_rope else 0,
+            )  # [1, M, H, dh]
+            if not fused_rope:
+                q = apply_rope_tables(q, cos, sin)
+                k = apply_rope_tables(k, cos, sin)
 
             if quantized:
                 kq, ks = quantize_kv(k[0])
@@ -877,16 +911,20 @@ class LlamaModel:
                 pk, pv = _dyn(apk, i), _dyn(apv, i)
                 pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
-                pks = pvs = None
                 apk = apk.at[i, phys_safe, :, slot].set(
                     k[0].astype(apk.dtype), mode="drop"
                 )
                 apv = apv.at[i, phys_safe, :, slot].set(
                     v[0].astype(apv.dtype), mode="drop"
                 )
-                pk, pv = _dyn(apk, i), _dyn(apv, i)
 
-            # decode lanes: paged attention, one query per lane
+            # decode lanes: paged attention, one query per lane (sliced
+            # per-layer pool — see the layout note in paged_forward)
+            pk, pv = _dyn(apk, i), _dyn(apv, i)
+            if quantized:
+                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
+            else:
+                pks = pvs = None
             q_dec = q[0, :b]  # [B, Hq, dh]
             if use_kernel and jax.default_backend() == "tpu":
                 dummy = jnp.zeros((1, fold, hkv, 1), jnp.float32)
@@ -904,8 +942,11 @@ class LlamaModel:
                 )
 
             # prefill rider: masked dense attention over its lane's pages
+            # (gathers index the stacked pool [layer, pages] directly — one
+            # gather, no per-layer pool slice; runs only when the cond takes
+            # this branch)
             def rider_attn(_):
-                bt = jnp.maximum(pf_table, 0)[None]  # [1, maxP]
+                bt = jnp.maximum(pf_table, 0)  # [maxP]
                 q_pf = q[:, b:]  # [1, Cs, Hq, dh]
 
                 def flat(a, w):
@@ -915,13 +956,15 @@ class LlamaModel:
                     # gathered pages stay int8; scales fold into the dots
                     unperm = paged_mod.unpermute_page_scales
                     return sdpa_quantized(
-                        q_pf, flat(pk[bt], dh), flat(unperm(pks[bt]), 1),
-                        flat(pv[bt], dh), flat(unperm(pvs[bt]), 1),
+                        q_pf, flat(apk[i, bt][None], dh),
+                        flat(unperm(apks[i, bt][None]), 1),
+                        flat(apv[i, bt][None], dh),
+                        flat(unperm(apvs[i, bt][None]), 1),
                         pf_mask, scale,
                     )[0]
                 return sdpa(
-                    q_pf, flat(pk[bt], dh).astype(q.dtype),
-                    flat(pv[bt], dh).astype(q.dtype),
+                    q_pf, flat(apk[i, bt][None], dh).astype(q.dtype),
+                    flat(apv[i, bt][None], dh).astype(q.dtype),
                     pf_mask, scale,
                 )[0]  # [Cs, Hq, dh]
 

@@ -124,7 +124,8 @@ def _decode_kernel(
     context_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, Hq, D] VMEM block for this b
-    k_pool_ref,  # [P, Hkv*rows, f*D] in ANY/HBM (folded view)
+    k_pool_ref,  # [P, Hkv*rows, f*D] in ANY/HBM (folded view); with
+    #              stacked=True: [L, P, Hkv*rows, f*D] + a layer_ref
     v_pool_ref,
     ks_pool_ref,  # [P, 1, S] f32 flat phase-major scales (or [1,1,1] dummy)
     vs_pool_ref,
@@ -142,6 +143,7 @@ def _decode_kernel(
     rep: int,
     fold: int,
     quantized: bool,
+    layer_ref=None,  # [1] SMEM scalar-prefetch (stacked pools only)
 ):
     b = pl.program_id(0)
     ctx_len = context_lens_ref[b]
@@ -152,23 +154,37 @@ def _decode_kernel(
     hr = num_kv_heads * rows  # columns per phase
     s = fold * hr  # total score columns per page (= Hkv*PAGE)
 
+    def pool_at(ref, phys):
+        # stacked pools arrive as a FLAT [L*P, ...] view and are indexed
+        # layer*P + page INSIDE the DMA — the caller never slices the layer
+        # out, so no [P, ...] copy of the pool is ever materialized per
+        # layer (that slice-copy cost ~1.3 ms/step at 8B: 4 arrays x
+        # 7.4 MB x 32 layers). Single-level dynamic indexing only: Mosaic
+        # DMA with a two-level ref.at[l, p] index miscompiles.
+        if layer_ref is not None:
+            p = ref.shape[0] // layer_ref[1]
+            return ref.at[layer_ref[0] * p + phys]
+        return ref.at[phys]
+
     def page_dma(slot, logical_page):
         phys = block_tables_ref[b, logical_page]
         copies = [
             pltpu.make_async_copy(
-                k_pool_ref.at[phys], k_buf.at[slot], sems.at[slot, 0]
+                pool_at(k_pool_ref, phys), k_buf.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                v_pool_ref.at[phys], v_buf.at[slot], sems.at[slot, 1]
+                pool_at(v_pool_ref, phys), v_buf.at[slot], sems.at[slot, 1]
             ),
         ]
         if quantized:
             copies += [
                 pltpu.make_async_copy(
-                    ks_pool_ref.at[phys], ks_buf.at[slot], sems.at[slot, 2]
+                    pool_at(ks_pool_ref, phys), ks_buf.at[slot],
+                    sems.at[slot, 2]
                 ),
                 pltpu.make_async_copy(
-                    vs_pool_ref.at[phys], vs_buf.at[slot], sems.at[slot, 3]
+                    pool_at(vs_pool_ref, phys), vs_buf.at[slot],
+                    sems.at[slot, 3]
                 ),
             ]
         return copies
@@ -254,6 +270,92 @@ def _decode_kernel(
     m, l, acc = jax.lax.fori_loop(0, num_pages, body, init)
     out = acc / jnp.maximum(l, 1e-30)
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _decode_kernel_stacked(bt_ref, ctx_ref, layer_ref, q_ref, k_ref, v_ref,
+                           ks_ref, vs_ref, out_ref, *scratch, **params):
+    _decode_kernel(bt_ref, ctx_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   out_ref, *scratch, layer_ref=layer_ref, **params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret")
+)
+def paged_attention_decode_stacked(
+    q: jax.Array,  # [B, Hq, D]
+    pool_k: jax.Array,  # [L, P, Hkv, PAGE, D] FULL stacked pool
+    pool_v: jax.Array,
+    ks: jax.Array,  # [L, P, f, Hkv, PAGE//f] (ignored unless int8 pool)
+    vs: jax.Array,
+    layer: jax.Array,  # scalar int32
+    block_tables: jax.Array,  # [B, maxP]
+    context_lens: jax.Array,  # [B]
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode paged attention over the FULL layer-stacked pool: the layer
+    id is scalar-prefetched and applied inside each page DMA, so a
+    ``lax.scan`` over layers never materializes a per-layer pool slice
+    (``_dyn(pool, i)`` before the unstacked kernel copies ~30 MB/layer)."""
+    b, hq, d = q.shape
+    nl, p, hkv, page, _ = pool_k.shape
+    assert page == PAGE_SIZE
+    rep = hq // hkv
+    quantized = pool_k.dtype == jnp.int8
+    fold = fold_for(d)
+    assert (fold * d) % 128 == 0, (
+        f"head_dim {d} cannot fold to a 128-lane row; use the XLA path"
+    )
+    rows = page // fold
+    hr = hkv * rows
+    s = hkv * page
+
+    # flat [L*P, ...] views: the kernel DMAs row layer*P + page (free
+    # bitcast reshapes — L, P are the leading dims)
+    kf = pool_k.reshape(nl * p, hr, fold * d)
+    vf = pool_v.reshape(nl * p, hr, fold * d)
+    if quantized:
+        ksf = ks.reshape(nl * p, 1, s)
+        vsf = vs.reshape(nl * p, 1, s)
+    else:
+        ksf = jnp.zeros((1, 1, 128), jnp.float32)
+        vsf = jnp.zeros((1, 1, 128), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM((2, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
+            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_stacked,
+        scale=scale,
+        num_kv_heads=hkv,
+        rep=rep,
+        fold=fold,
+        quantized=quantized,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        interpret=interpret,
+    )(block_tables, context_lens,
+      jnp.stack([jnp.asarray(layer, jnp.int32),
+                 jnp.asarray(nl, jnp.int32)]), q, kf, vf, ksf, vsf)
 
 
 @functools.partial(

@@ -112,16 +112,13 @@ def _rope_epilogue(y: jax.Array, cos: jax.Array, sin: jax.Array,
     return y * cos + r * sin
 
 
-def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
-            bits: int, group_size: int, bk: int, bm: int, out_dtype,
-            cos_ref=None, sin_ref=None, rope_half: int = 0):
-    kk = pl.program_id(2)
-    nk = pl.num_programs(2)
+def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
+                 bits: int, group_size: int, bk: int, bm: int):
+    """Accumulate ``xb @ dequant(packed block)`` into the f32 value ``acc``.
 
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    xb: [bm, bk] bf16 value; packed_ref/scales_ref/biases_ref: VMEM refs of
+    one [bk//ep, bn] / [bk//g, bn] weight block. Shared by the plain matmul
+    kernel and the fused decode-layer kernels (ops/fused_mlp_pallas.py)."""
     g = group_size
     gpt = PACK_TILE_K // g  # groups per 512-row tile
     n_tiles = bk // PACK_TILE_K
@@ -134,8 +131,6 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
     # group, so dequantize per-element instead (MXU-bound there anyway).
     post_scale = bm <= 32 and g >= 64
 
-    xb = x_ref[:].astype(jnp.bfloat16)
-    acc = acc_ref[:]
     for t in range(n_tiles):
         s32 = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
         b32 = biases_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
@@ -199,7 +194,24 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
                     acc = acc + jnp.dot(
                         xt, wd, preferred_element_type=jnp.float32
                     )
-    acc_ref[:] = acc
+    return acc
+
+
+def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
+            bits: int, group_size: int, bk: int, bm: int, out_dtype,
+            cos_ref=None, sin_ref=None, rope_half: int = 0):
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] = _accum_block(
+        xb, packed_ref, scales_ref, biases_ref, acc_ref[:],
+        bits=bits, group_size=group_size, bk=bk, bm=bm,
+    )
 
     @pl.when(kk == nk - 1)
     def _():

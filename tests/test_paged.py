@@ -54,12 +54,13 @@ def test_manager_exhaustion_and_fork():
     assert m.num_free_pages() == 4
 
 
-def _setup_pool(b=2, lens=(70, 130), hkv=2, hq=4, d=16, quantized=False, seed=0):
+def _setup_pool(b=2, lens=(70, 130), hkv=2, hq=4, d=16, quantized=False,
+                seed=0, layers=1):
     rng = np.random.default_rng(seed)
     max_pages = 4
     num_pages = 16
-    l = 1
-    pool = PagedKVPool.create(l, num_pages, hkv, d, jnp.float32, quantized)
+    pool = PagedKVPool.create(layers, num_pages, hkv, d, jnp.float32,
+                              quantized)
     man = PagedCacheManager(num_pages, max_pages)
     bt = np.full((b, max_pages), -1, np.int32)
     ks, vs = [], []
@@ -71,16 +72,18 @@ def _setup_pool(b=2, lens=(70, 130), hkv=2, hq=4, d=16, quantized=False, seed=0)
         vs.append(rng.standard_normal((n, hkv, d)).astype(np.float32))
     bt = jnp.asarray(bt)
     # write each sequence's tokens through write_tokens in chunks
+    # (layer li gets the data scaled by li+1 so wrong-layer reads differ)
     for i, n in enumerate(lens):
         pos = jnp.asarray(np.arange(n)[None, :])
-        pool = write_tokens(
-            pool,
-            jnp.asarray(ks[i][None]),
-            jnp.asarray(vs[i][None]),
-            0,
-            bt[i : i + 1],
-            pos,
-        )
+        for li in range(layers):
+            pool = write_tokens(
+                pool,
+                jnp.asarray(ks[i][None]) * (li + 1),
+                jnp.asarray(vs[i][None]) * (li + 1),
+                li,
+                bt[i : i + 1],
+                pos,
+            )
     return pool, bt, ks, vs, jnp.asarray(np.array(lens, np.int32))
 
 
@@ -171,3 +174,31 @@ def test_pallas_decode_kernel_on_tpu():
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_pallas_decode_kernel_stacked_matches_xla(quantized):
+    """Layer-stacked kernel (layer id applied inside the page DMAs) ==
+    per-layer XLA reference on every layer."""
+    from pie_tpu.ops.paged_attention import paged_attention_decode_stacked
+
+    b, hkv, hq, d = 2, 2, 4, 16
+    pool, bt, ks, vs, lens_arr = _setup_pool(
+        b, (70, 130), hkv, hq, d, quantized=quantized, layers=2
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)).astype(np.float32))
+    scale = d**-0.5
+    for layer in range(2):
+        ref = paged_attention_xla(
+            q, pool.k[layer], pool.v[layer], bt, lens_arr, scale,
+            pool.k_scale[layer] if quantized else None,
+            pool.v_scale[layer] if quantized else None,
+        )
+        out = paged_attention_decode_stacked(
+            q, pool.k, pool.v, pool.k_scale, pool.v_scale,
+            jnp.int32(layer), bt, lens_arr, scale, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+        )
