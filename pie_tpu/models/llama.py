@@ -386,6 +386,46 @@ class LlamaModel:
             u = linear(x, p["wu"], layer=layer)
         return linear(jax.nn.silu(g) * u, p["wd"], layer=layer)
 
+    def _fused_mlp_ok(self, p, m: int) -> bool:
+        """Static gate for the one-launch decode MLP-block kernel
+        (ops/fused_mlp_pallas): decode-sized batch, quantized fused
+        weights, single chip, no ablations."""
+        if self._ablate or self.mesh is not None:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if not ("wo" in p and "wgu" in p and "wd" in p):
+            return False
+        if not isinstance(p["wo"], QuantizedTensor):
+            return False
+        from pie_tpu.ops.fused_mlp_pallas import fused_mlp_supported
+
+        return fused_mlp_supported(p["wo"], p["wgu"], p["wd"], m)
+
+    def _mlp_block(self, p, h, attn_flat, layer, eps, fused):
+        """The post-attention stretch of a decoder layer: wo projection +
+        residual + ln2 + gated MLP + residual. On the decode path this is
+        ONE Pallas launch (fused_mlp_stacked) instead of 3 matmul launches
+        plus the XLA glue between them — per-launch dispatch + pipeline
+        fill cost ~12-16 us/layer at 8B (benchmarks/PROFILE.md)."""
+        b, t, dm = h.shape
+        if fused:
+            from pie_tpu.ops.fused_mlp_pallas import fused_mlp_stacked
+
+            out = fused_mlp_stacked(
+                attn_flat.reshape(b * t, -1), h.reshape(b * t, dm),
+                _dyn(p["ln2"], layer), layer, p["wo"], p["wgu"], p["wd"],
+                eps=eps,
+            )
+            return out.reshape(b, t, dm)
+        h = h + linear(attn_flat, p["wo"], layer=layer)
+        h = self._constrain(h, "dp", None, None)
+        x = rms_norm(h, _dyn(p["ln2"], layer), eps)
+        if "nomlp" not in self._ablate:
+            h = h + self._mlp(p, x, layer=layer)
+            h = self._constrain(h, "dp", None, None)
+        return h
+
     def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
         return params["embed"][input_ids]
 
@@ -465,6 +505,7 @@ class LlamaModel:
 
         _abl = self._ablate
         p = params["layers"]
+        use_fused_mlp = self._fused_mlp_ok(p, b * t)
 
         def layer_fn(carry, i):
             if quantized:
@@ -550,13 +591,9 @@ class LlamaModel:
             else:
                 attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
             attn = self._constrain(attn, "dp", None, "tp", None)
-            h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
-            h = self._constrain(h, "dp", None, None)
-
-            x = rms_norm(h, _dyn(p["ln2"], i), eps)
-            if "nomlp" not in _abl:
-                h = h + self._mlp(p, x, layer=i)
-                h = self._constrain(h, "dp", None, None)
+            h = self._mlp_block(
+                p, h, attn.reshape(b, t, hq * dh), i, eps, use_fused_mlp
+            )
             if quantized:
                 return (h, ckq_all, cks_all, cvq_all, cvs_all), None
             return (h, ck_all, cv_all), None
@@ -664,6 +701,7 @@ class LlamaModel:
             mask = attention_mask(positions, kv_pos)
 
         lp = params["layers"]
+        use_fused_mlp = decode and self._fused_mlp_ok(lp, b * t)
 
         def layer_fn(carry, i):
             if quantized:
@@ -749,9 +787,9 @@ class LlamaModel:
                     cv = flat(pv[bt_idx], dh).astype(q.dtype)
                     attn = sdpa(q, ck, cv, mask, scale)
 
-            h2 = h + linear(attn.reshape(b, t, hq * dh), lp["wo"], layer=i)
-            x = rms_norm(h2, _dyn(lp["ln2"], i), eps)
-            h2 = h2 + self._mlp(lp, x, layer=i)
+            h2 = self._mlp_block(
+                lp, h, attn.reshape(b, t, hq * dh), i, eps, use_fused_mlp
+            )
             if quantized:
                 return (h2, apk, apv, apks, apvs), None
             return (h2, apk, apv), None

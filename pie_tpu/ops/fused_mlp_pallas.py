@@ -15,12 +15,16 @@ during earlier phases).
 Weight streams ride the same grid: a flat 1-D "arbitrary" grid enumerates
 (phase, j, k) steps; index maps clamp each operand to a constant block
 outside its phase so no DMA re-issues (Pallas only fetches when the block
-index changes).
+index changes). Each phase uses its own K tile (wo streams at bk=1024, the
+big wgu/wd streams at bk=2048 — the per-shape optima from the
+sweep_tiles.py sweep), and all inter-phase activations live in VMEM as
+BN-wide slabs.
 
 Numerics intentionally match the unfused path bit-for-bit where it is
 cheap: accumulators are f32, residual adds and the hidden stream are bf16,
 the norm reduction is f32 (models/llama.py:rms_norm), silu runs in f32 on
-bf16 inputs.
+bf16 inputs. The silu*mul for g-tile j runs as soon as u-tile j+n/2 lands
+(not as a phase-end lump), so the VPU work hides under the weight DMAs.
 
 Reference parity: this is the device program for the MLP half of the
 reference's per-layer forward (models/llama/language.py attention+MLP
@@ -41,12 +45,13 @@ from pie_tpu.ops.quant import QuantizedTensor
 from pie_tpu.ops.quant_matmul_pallas import _accum_block
 
 BN = 2048
-BK = 1024
+BK_O = 1024   # wo K tile
+BK_G = 2048   # wgu / wd K tile (== BN so VMEM slabs ARE the x tiles)
 
 
 def fused_mlp_supported(qt_wo, qt_wgu, qt_wd, m: int) -> bool:
-    """Static gate: decode-sized batch, tile-divisible dims, int4/int8
-    stacked weights with a shared group size."""
+    """Static gate: decode-sized batch, tile-divisible dims, stacked
+    weights with a shared group size."""
     try:
         d_attn, d = qt_wo.shape
         d2, di2 = qt_wgu.shape
@@ -58,13 +63,13 @@ def fused_mlp_supported(qt_wo, qt_wgu, qt_wd, m: int) -> bool:
         and qt_wo.packed.ndim == 3
         and d == d2 == d3
         and di2 == 2 * di
-        and d % BN == 0 and di2 % BN == 0
-        and d_attn % BK == 0 and d % BK == 0 and di % BK == 0
+        and d % BN == 0 and di2 % BN == 0 and di % BK_G == 0
+        and d_attn % BK_O == 0 and d % BK_G == 0
         and qt_wo.padded_k == d_attn and qt_wgu.padded_k == d
         and qt_wd.padded_k == di
         and qt_wo.group_size == qt_wgu.group_size == qt_wd.group_size
         and qt_wo.bits == qt_wgu.bits == qt_wd.bits
-        and qt_wo.group_size <= BK
+        and qt_wo.group_size <= BK_O
     )
 
 
@@ -75,12 +80,11 @@ def _mlp_kernel(
     bits, g, bm, eps, dims,
 ):
     d_attn, d, di = dims
-    n_ko, n_jo = d_attn // BK, d // BN
-    n_kg, n_jg = d // BK, (2 * di) // BN
-    n_kd, n_jd = di // BK, d // BN
+    n_ko, n_jo = d_attn // BK_O, d // BN
+    n_kg, n_jg = d // BK_G, (2 * di) // BN
+    n_kd = di // BK_G
     n_wo = n_jo * n_ko
     n_wgu = n_jg * n_kg
-    sub = BN // BK  # scratch sub-slabs per j tile
     s = pl.program_id(0)
 
     kw = dict(bits=bits, group_size=g, bm=bm)
@@ -97,30 +101,28 @@ def _mlp_kernel(
 
         xb = attn_ref[:].astype(jnp.bfloat16)
         acc_ref[:] = _accum_block(
-            xb, wo_p.at[0], wo_s.at[0], wo_b.at[0], acc_ref[:], bk=BK, **kw
+            xb, wo_p.at[0], wo_s.at[0], wo_b.at[0], acc_ref[:], bk=BK_O,
+            **kw
         )
 
         @pl.when(k == n_ko - 1)
         def _():
-            h2 = hin_ref[:] + acc_ref[:].astype(hin_ref.dtype)
-            for t in range(sub):
-                h2_ref[j * sub + t] = h2[:, t * BK:(t + 1) * BK]
+            h2_ref[j] = hin_ref[:] + acc_ref[:].astype(jnp.bfloat16)
 
         @pl.when(s == n_wo - 1)
         def _():
-            nks = d // BK
             ssq = jnp.zeros((bm, 1), jnp.float32)
-            for t in range(nks):
+            for t in range(n_jo):
                 hf = h2_ref[t].astype(jnp.float32)
                 ssq = ssq + (hf * hf).sum(axis=1, keepdims=True)
             inv = jax.lax.rsqrt(ssq / d + eps)
-            for t in range(nks):
-                wt = w_ref[:, t * BK:(t + 1) * BK].astype(jnp.float32)
+            for t in range(n_jo):
+                wt = w_ref[:, t * BN:(t + 1) * BN].astype(jnp.float32)
                 xg_ref[t] = (
                     h2_ref[t].astype(jnp.float32) * inv * wt
                 ).astype(jnp.bfloat16)
 
-    # ---- phase 2: gu = xg @ wgu; act = silu(g) * u ---------------------
+    # ---- phase 2: gu = xg @ wgu; act = silu(g) * u (incremental) -------
     @pl.when((s >= n_wo) & (s < n_wo + n_wgu))
     def _():
         t0 = s - n_wo
@@ -133,25 +135,22 @@ def _mlp_kernel(
 
         xb = xg_ref[k]
         acc_ref[:] = _accum_block(
-            xb, wgu_p.at[0], wgu_s.at[0], wgu_b.at[0], acc_ref[:], bk=BK,
+            xb, wgu_p.at[0], wgu_s.at[0], wgu_b.at[0], acc_ref[:], bk=BK_G,
             **kw
         )
 
         @pl.when(k == n_kg - 1)
         def _():
-            gu = acc_ref[:].astype(jnp.bfloat16)
-            for t in range(sub):
-                gu_ref[j * sub + t] = gu[:, t * BK:(t + 1) * BK]
-
-        @pl.when(s == n_wo + n_wgu - 1)
-        def _():
-            nact = di // BK
-            for t in range(nact):
-                gf = gu_ref[t].astype(jnp.float32)
-                uf = gu_ref[t + nact].astype(jnp.float32)
-                act_ref[t] = (gf * jax.nn.sigmoid(gf) * uf).astype(
-                    jnp.bfloat16
-                )
+            gu_ref[j] = acc_ref[:].astype(jnp.bfloat16)
+            # the matching g slab landed n_jg/2 tiles ago: activate now so
+            # the silu VPU work hides under this step's weight DMAs
+            @pl.when(j >= n_jg // 2)
+            def _():
+                gf = gu_ref[j - n_jg // 2].astype(jnp.float32)
+                uf = gu_ref[j].astype(jnp.float32)
+                act_ref[j - n_jg // 2] = (
+                    gf * jax.nn.sigmoid(gf) * uf
+                ).astype(jnp.bfloat16)
 
     # ---- phase 3: out = h2 + act @ wd ----------------------------------
     @pl.when(s >= n_wo + n_wgu)
@@ -166,15 +165,13 @@ def _mlp_kernel(
 
         xb = act_ref[k]
         acc_ref[:] = _accum_block(
-            xb, wd_p.at[0], wd_s.at[0], wd_b.at[0], acc_ref[:], bk=BK, **kw
+            xb, wd_p.at[0], wd_s.at[0], wd_b.at[0], acc_ref[:], bk=BK_G,
+            **kw
         )
 
         @pl.when(k == n_kd - 1)
         def _():
-            h2 = jnp.concatenate(
-                [h2_ref[j * sub + t] for t in range(sub)], axis=1
-            )
-            out_ref[:] = h2 + acc_ref[:].astype(out_ref.dtype)
+            out_ref[:] = h2_ref[j] + acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -197,9 +194,9 @@ def fused_mlp_stacked(
     ep = wo.el_per_int
     bm = 8  # single M tile (decode)
 
-    n_ko, n_jo = d_attn // BK, d // BN
-    n_kg, n_jg = d // BK, (2 * di) // BN
-    n_kd, n_jd = di // BK, d // BN
+    n_ko, n_jo = d_attn // BK_O, d // BN
+    n_kg, n_jg = d // BK_G, (2 * di) // BN
+    n_kd, n_jd = di // BK_G, d // BN
     n_wo = n_jo * n_ko
     n_wgu = n_jg * n_kg
     n_wd = n_jd * n_kd
@@ -236,18 +233,18 @@ def fused_mlp_stacked(
         return (0, jnp.clip((s - n_wo - n_wgu) // n_kd, 0, n_jd - 1))
 
     in_specs = [
-        pl.BlockSpec((bm, BK), attn_idx),
+        pl.BlockSpec((bm, BK_O), attn_idx),
         pl.BlockSpec((bm, BN), hin_idx),
         pl.BlockSpec((1, d), lambda s, sr: (0, 0)),
-        pl.BlockSpec((1, BK // ep, BN), wo_idx),
-        pl.BlockSpec((1, BK // g, BN), wo_idx),
-        pl.BlockSpec((1, BK // g, BN), wo_idx),
-        pl.BlockSpec((1, BK // ep, BN), wgu_idx),
-        pl.BlockSpec((1, BK // g, BN), wgu_idx),
-        pl.BlockSpec((1, BK // g, BN), wgu_idx),
-        pl.BlockSpec((1, BK // ep, BN), wd_idx),
-        pl.BlockSpec((1, BK // g, BN), wd_idx),
-        pl.BlockSpec((1, BK // g, BN), wd_idx),
+        pl.BlockSpec((1, BK_O // ep, BN), wo_idx),
+        pl.BlockSpec((1, BK_O // g, BN), wo_idx),
+        pl.BlockSpec((1, BK_O // g, BN), wo_idx),
+        pl.BlockSpec((1, BK_G // ep, BN), wgu_idx),
+        pl.BlockSpec((1, BK_G // g, BN), wgu_idx),
+        pl.BlockSpec((1, BK_G // g, BN), wgu_idx),
+        pl.BlockSpec((1, BK_G // ep, BN), wd_idx),
+        pl.BlockSpec((1, BK_G // g, BN), wd_idx),
+        pl.BlockSpec((1, BK_G // g, BN), wd_idx),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -255,11 +252,11 @@ def fused_mlp_stacked(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, BN), out_idx),
         scratch_shapes=[
-            pltpu.VMEM((bm, BN), jnp.float32),            # acc
-            pltpu.VMEM((d // BK, bm, BK), jnp.bfloat16),  # h2 slabs
-            pltpu.VMEM((d // BK, bm, BK), jnp.bfloat16),  # xg slabs
-            pltpu.VMEM((2 * di // BK, bm, BK), jnp.bfloat16),  # gu slabs
-            pltpu.VMEM((di // BK, bm, BK), jnp.bfloat16),  # act slabs
+            pltpu.VMEM((bm, BN), jnp.float32),                 # acc
+            pltpu.VMEM((d // BN, bm, BN), jnp.bfloat16),       # h2 slabs
+            pltpu.VMEM((d // BN, bm, BN), jnp.bfloat16),       # xg slabs
+            pltpu.VMEM((2 * di // BN, bm, BN), jnp.bfloat16),  # gu slabs
+            pltpu.VMEM((di // BN, bm, BN), jnp.bfloat16),      # act slabs
         ],
     )
     kernel = functools.partial(
