@@ -164,6 +164,7 @@ class BatchedInferenceEngine:
             repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
             presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
             frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+            logit_bias=dict(kwargs.get("logit_bias") or {}),
         )
         seq.seq_id = self._next_id()
         seq.prompt_embeds = prompt_embeds
@@ -280,6 +281,7 @@ class BatchedInferenceEngine:
             repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
             presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
             frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+            logit_bias=dict(kwargs.get("logit_bias") or {}),
             machine=machine.copy(),
             masker=masker,
             state_kwargs=state_kwargs,

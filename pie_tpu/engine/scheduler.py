@@ -72,6 +72,9 @@ class Sequence:
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # sparse per-request logit bias {token_id: bias} (reference C++
+    # LogitsParams logit_bias map, include/sequence/logits_params.hpp:11-17)
+    logit_bias: dict = dataclasses.field(default_factory=dict)
 
     status: SeqStatus = SeqStatus.WAITING
     output_ids: list[int] = dataclasses.field(default_factory=list)
@@ -169,7 +172,7 @@ class PagedEngine:
             self._chunk_impl, donate_argnames=("pool",),
             static_argnames=(
                 "num_steps", "sampler_kind", "use_mask", "use_embeds",
-                "use_rider",
+                "use_rider", "use_bias",
             ),
         )
 
@@ -237,6 +240,8 @@ class PagedEngine:
         wake_tokens,  # [B] the prompt's final token (first decode input)
         wake_ctx,  # [B] pool tokens at wake (= prompt_len - 1)
         wake_hist,  # [B, H] history seeded with the prompt tail
+        bias_ids,  # [B, NB] int32 sparse logit-bias token ids (-1 pad)
+        bias_vals,  # [B, NB] f32 logit-bias values
         allowed_mask,  # [B, V] bool — constrained-decoding token mask
         mask_valid,  # [B] bool — whether allowed_mask applies to the lane
         chunk_budget,  # [B] int32 tokens a lane may emit THIS chunk (a
@@ -248,6 +253,7 @@ class PagedEngine:
         use_mask: bool = False,
         use_embeds: bool = False,
         use_rider: bool = True,
+        use_bias: bool = False,
     ):
         """N mixed continuous-batching steps fully on-device (one host sync
         per chunk instead of per token): every step advances all live decode
@@ -299,6 +305,8 @@ class PagedEngine:
             logits = presence_frequency_penalty(
                 logits, hist, pen_pres, pen_freq
             )
+            if use_bias:
+                logits = apply_logit_bias(logits, bias_ids, bias_vals)
             if use_mask:
                 logits = jnp.where(
                     mask_valid[:, None] & ~allowed_mask, -1e30, logits
@@ -388,6 +396,9 @@ class Scheduler:
             "presence": np.zeros((b,), np.float32),
             "frequency": np.zeros((b,), np.float32),
         }
+        self.max_bias = 16
+        self.bias_ids = np.full((b, self.max_bias), -1, np.int32)
+        self.bias_vals = np.zeros((b, self.max_bias), np.float32)
 
     # -- public API ------------------------------------------------------
 
@@ -445,7 +456,12 @@ class Scheduler:
                         need += -(-rem // cs)
                     else:
                         need += 1  # wake-only: one step slot
-            n = min(need, self.decode_steps) if need else self.decode_steps
+            # bucket n to powers of two: num_steps is a static jit arg, so
+            # each distinct (n, use_rider) pair compiles a fresh heavy chunk
+            # program — varied prompt lengths would otherwise pay a
+            # multi-second compile per new n (ADVICE r3). Extra steps past
+            # the prefill need run as decode steps for the woken lanes.
+            n = _bucket_chunk(need, self.decode_steps) if need else self.decode_steps
         plan = self._plan_chunk(n)
         if plan is None:
             return []
@@ -491,6 +507,13 @@ class Scheduler:
             self.pen["repetition"][lane] = seq.repetition_penalty
             self.pen["presence"][lane] = seq.presence_penalty
             self.pen["frequency"][lane] = seq.frequency_penalty
+            self.bias_ids[lane] = -1
+            self.bias_vals[lane] = 0.0
+            if seq.logit_bias:
+                items = sorted(seq.logit_bias.items())[: self.max_bias]
+                for i, (tid, bv) in enumerate(items):
+                    self.bias_ids[lane, i] = int(tid)
+                    self.bias_vals[lane, i] = float(bv)
 
     def _plan_chunk(self, n: Optional[int] = None):
         """Build the data plan for one chunk: prefill-rider slices (one lane
@@ -652,8 +675,8 @@ class Scheduler:
                     # choice point (reasoning phase samples freeform,
                     # tool_call phase forces its kwargs)
                     kw: dict = {}
-                    for n in sorted(machine.active_names()):
-                        kw.update(seq.state_kwargs.get(n, {}))
+                    for state_name in sorted(machine.active_names()):
+                        kw.update(seq.state_kwargs.get(state_name, {}))
                     self.samp["temperature"][lane] = kw.get(
                         "temperature", seq.temperature
                     )
@@ -716,6 +739,8 @@ class Scheduler:
             jnp.asarray(plan["wake_tokens"]),
             jnp.asarray(plan["wake_ctx"]),
             jnp.asarray(plan["wake_hist"]),
+            jnp.asarray(self.bias_ids),
+            jnp.asarray(self.bias_vals),
             jnp.asarray(allowed),
             jnp.asarray(mask_valid),
             jnp.asarray(chunk_budget),
@@ -726,6 +751,7 @@ class Scheduler:
             use_embeds=plan["pf_embeds"] is not None,
             use_rider=bool((plan["pf_ids"] >= 0).any())
             or not hasattr(e.model, "paged_forward"),
+            use_bias=bool((self.bias_ids >= 0).any()),
         )
         emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
         # np.array (not asarray): device->host views are read-only and the
@@ -894,7 +920,9 @@ class Scheduler:
 
 
 def _bucket_chunk(n: int, max_chunk: int) -> int:
-    c = 16
+    """Round a chunk step count up to the next power of two (capped), so
+    the set of compiled chunk programs stays small."""
+    c = 1
     while c < n:
         c *= 2
     return min(c, max_chunk)

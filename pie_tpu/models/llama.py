@@ -665,9 +665,12 @@ class LlamaModel:
         # __call__; saves ~1.25 ms/token at 8B vs standalone rope kernels)
         fused_rope = (
             decode and "wqkv" in params["layers"] and dh in (64, 128)
+            and "norope" not in self._ablate
         )
         rope_cs = None
-        if fused_rope:
+        if "norope" in self._ablate:
+            rope_fn = lambda x: x
+        elif fused_rope:
             rope_cs = rope_qkv_cs(positions[:, 0], self.inv_freq, hq, hkv, dh)
             rope_fn = lambda x: x
         elif decode:
@@ -882,7 +885,10 @@ class LlamaModel:
         # rope fused into the QKV projection epilogue (one C/S row per flat
         # token; pad rows rotate by garbage angles but their K is dropped and
         # their attention output discarded)
-        fused_rope = "wqkv" in params["layers"] and dh in (64, 128)
+        fused_rope = (
+            "wqkv" in params["layers"] and dh in (64, 128)
+            and "norope" not in self._ablate
+        )
         if fused_rope:
             rope_cs = rope_qkv_cs(positions, self.inv_freq, hq, hkv, dh)
         else:
@@ -931,7 +937,7 @@ class LlamaModel:
                 rope_cs=rope_cs if fused_rope else None,
                 rope_dim=dh if fused_rope else 0,
             )  # [1, M, H, dh]
-            if not fused_rope:
+            if not fused_rope and "norope" not in self._ablate:
                 q = apply_rope_tables(q, cos, sin)
                 k = apply_rope_tables(k, cos, sin)
 
@@ -946,8 +952,6 @@ class LlamaModel:
                 apvs = apvs.at[
                     i, phys_safe, slot % fold, :, slot // fold
                 ].set(vs[..., 0], mode="drop")
-                pk, pv = _dyn(apk, i), _dyn(apv, i)
-                pks, pvs = _dyn(apks, i), _dyn(apvs, i)
             else:
                 apk = apk.at[i, phys_safe, :, slot].set(
                     k[0].astype(apk.dtype), mode="drop"
