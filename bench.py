@@ -83,19 +83,31 @@ def quantized_bytes(params) -> int:
 
 
 def bench_decode(engine, prompt, steps, chunk):
-    """Best-of-3 steady-state decode tokens/sec."""
+    """Best-of-3 steady-state decode tokens/sec.
+
+    Timed from the FIRST streamed token (prefill + compile excluded —
+    prefill latency is the separate TTFT metric), so the number measures
+    the decode loop itself: chunked device steps + per-chunk host drains."""
     # warmup twice: first call compiles prefill + the decode-chunk ladder,
     # second absorbs post-compile cache effects
     engine.generate(prompt, max_completion_tokens=steps, temperature=0.0)
     engine.generate(prompt, max_completion_tokens=chunk + 1, temperature=0.0)
     best = 0.0
     for _ in range(3):
-        t0 = time.perf_counter()
-        res = engine.generate(
+        gen = engine.generate_stream(
             prompt, max_completion_tokens=steps, temperature=0.0
         )
+        next(gen)  # prefill + first token: untimed (TTFT covers it)
+        n = 0
+        t0 = time.perf_counter()
+        try:
+            while True:
+                next(gen)
+                n += 1
+        except StopIteration:
+            pass
         dt = time.perf_counter() - t0
-        best = max(best, res.completion_tokens / dt)
+        best = max(best, n / dt)
     return best
 
 

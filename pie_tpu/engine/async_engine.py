@@ -51,7 +51,13 @@ class BatchedInferenceEngine:
         prefill_chunk: int = 256,
         kv_quantized: bool = False,
         seed: int = 0,
+        scheduler_impl: str = "python",
     ):
+        """scheduler_impl: "python" (chunked Scheduler, full feature set)
+        or "native" (the C++ host runtime via runtime/native_scheduler —
+        the reference's intended engine-process split, src/main.cpp:55-131;
+        text requests only: constrained decoding, VLM embeds and logit
+        bias stay on the python planner)."""
         if model is None:
             if model_path is None:
                 raise ValueError("need model+params or model_path")
@@ -77,7 +83,13 @@ class BatchedInferenceEngine:
             kv_quantized=kv_quantized,
             seed=seed,
         )
-        self.scheduler = Scheduler(self.core)
+        self.scheduler_impl = scheduler_impl
+        if scheduler_impl == "native":
+            from pie_tpu.runtime.native_scheduler import NativeScheduler
+
+            self.scheduler = NativeScheduler(self.core)
+        else:
+            self.scheduler = Scheduler(self.core)
         self._submit_q: queue.Queue = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -88,8 +100,12 @@ class BatchedInferenceEngine:
     def start(self):
         if self._thread is not None:
             return
+        target = (
+            self._native_loop if self.scheduler_impl == "native"
+            else self._loop
+        )
         self._thread = threading.Thread(
-            target=self._loop, name="pie-scheduler", daemon=True
+            target=target, name="pie-scheduler", daemon=True
         )
         self._thread.start()
 
@@ -127,6 +143,89 @@ class BatchedInferenceEngine:
                 sched.running.clear()
                 sched.waiting.clear()
 
+    def _native_loop(self):
+        """Engine loop over the C++ host scheduler: admission, sequence
+        lifecycle, page tables and stop handling run in native code
+        (native/src/scheduler.cpp); this thread only launches the jitted
+        device programs (the reference's engine-process split,
+        src/main.cpp:55-131)."""
+        sched = self.scheduler
+        live: list = []  # (NativeRequest, Sequence) pairs in flight
+
+        def fail_all(reason):
+            for _, s in live:
+                s.finish_reason = reason
+                out_q = getattr(s, "_out_q", None)
+                if out_q is not None:
+                    out_q.put(_SENTINEL)
+            live.clear()
+
+        while not self._stop.is_set():
+            try:
+                while True:
+                    seq = self._submit_q.get_nowait()
+                    if (
+                        seq.machine is not None
+                        or seq.prompt_embeds is not None
+                        or seq.logit_bias
+                    ):
+                        seq.finish_reason = (
+                            "error: native scheduler supports plain text "
+                            "requests only (use scheduler_impl='python' "
+                            "for structured output / VLM / logit bias)"
+                        )
+                        if seq.on_finish:
+                            seq.on_finish(seq)
+                        continue
+                    req = sched.add_request(
+                        seq.prompt_ids,
+                        max_new_tokens=seq.max_new_tokens,
+                        stop_token_ids=seq.stop_token_ids,
+                        temperature=seq.temperature,
+                        top_p=seq.top_p,
+                        min_p=seq.min_p,
+                        top_k=seq.top_k,
+                        repetition_penalty=seq.repetition_penalty,
+                        presence_penalty=seq.presence_penalty,
+                        frequency_penalty=seq.frequency_penalty,
+                    )
+
+                    def _tok(r, t, s=seq):
+                        s.output_ids.append(int(t))
+                        if s.on_token:
+                            try:
+                                s.on_token(s, int(t))
+                            except Exception:  # pragma: no cover
+                                logger.exception("on_token callback failed")
+
+                    def _fin(r, s=seq):
+                        s.finish_reason = r.finish_reason or "stop"
+                        s.status = SeqStatus.COMPLETED
+                        if s.on_finish:
+                            try:
+                                s.on_finish(s)
+                            except Exception:  # pragma: no cover
+                                logger.exception("on_finish callback failed")
+
+                    req.on_token = _tok
+                    req.on_finish = _fin
+                    live.append((req, seq))
+            except queue.Empty:
+                pass
+            for req, seq in live:
+                if seq.cancelled and not req.done:
+                    sched.cancel(req)
+            live = [(r, s) for r, s in live if not r.done]
+            if not sched.has_work:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                sched.step()
+            except Exception:
+                logger.exception("native scheduler step failed")
+                fail_all("error: scheduler failure")
+
     # -- request path ----------------------------------------------------
 
     def generate_stream(
@@ -136,6 +235,7 @@ class BatchedInferenceEngine:
         stop_token_ids: Sequence[int] = (),
         logprobs: bool = False,
         pixel_values=None,
+        image_kwargs=None,
         **kwargs,
     ) -> Iterator[StreamedToken]:
         """Same contract as InferenceEngine.generate_stream (StopIteration
@@ -148,7 +248,7 @@ class BatchedInferenceEngine:
         prompt_embeds = None
         if pixel_values is not None:
             prompt_embeds = self._image_prompt_embeds(
-                prompt_ids, pixel_values
+                prompt_ids, pixel_values, **(image_kwargs or {})
             )
         self.start()
         out_q: queue.Queue = queue.Queue()
@@ -211,23 +311,31 @@ class BatchedInferenceEngine:
 
     _embed_images_fn = None
 
-    def _image_prompt_embeds(self, prompt_ids, pixel_values):
+    def _image_prompt_embeds(self, prompt_ids, pixel_values, **image_kwargs):
         """Run the vision tower once host-side and return the full prompt's
         merged embeddings [plen, D] (image features scattered over
-        placeholder ids); the scheduler's prefill rider carries them."""
+        placeholder ids); the scheduler's prefill rider carries them.
+
+        image_kwargs: model-specific host-side extras (qwen2-vl's
+        ``grid_thw`` drives static window ordering in the vision tower, so
+        the call stays unjitted when present)."""
         import jax
         import jax.numpy as jnp
         import numpy as np
 
         if not hasattr(self.model, "embed_with_images"):
             raise InferenceError("model has no vision tower")
-        if self._embed_images_fn is None:
-            self._embed_images_fn = jax.jit(self.model.embed_with_images)
-        plen = len(prompt_ids)
         ids = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
-        emb = self._embed_images_fn(
-            self.params, ids, jnp.asarray(pixel_values)
-        )
+        if image_kwargs:
+            emb = self.model.embed_with_images(
+                self.params, ids, jnp.asarray(pixel_values), **image_kwargs
+            )
+        else:
+            if self._embed_images_fn is None:
+                self._embed_images_fn = jax.jit(self.model.embed_with_images)
+            emb = self._embed_images_fn(
+                self.params, ids, jnp.asarray(pixel_values)
+            )
         return np.asarray(emb[0], np.float32)
 
     # -- constrained decoding (structured generation) --------------------

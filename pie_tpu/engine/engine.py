@@ -381,11 +381,22 @@ class InferenceEngine:
         if pixel_values is not None:
             if not hasattr(self.model, "embed_with_images"):
                 raise InferenceError("model has no vision tower")
-            if self._embed_images_fn is None:
-                self._embed_images_fn = jax.jit(self.model.embed_with_images)
-            inputs_embeds = self._embed_images_fn(
-                self.params, jnp.asarray(ids), jnp.asarray(pixel_values)
-            )
+            image_kwargs = kw.pop("image_kwargs", None) or {}
+            if image_kwargs:
+                # model-specific host-side extras (qwen2-vl grid_thw drives
+                # static vision window ordering — unjittable)
+                inputs_embeds = self.model.embed_with_images(
+                    self.params, jnp.asarray(ids), jnp.asarray(pixel_values),
+                    **image_kwargs,
+                )
+            else:
+                if self._embed_images_fn is None:
+                    self._embed_images_fn = jax.jit(
+                        self.model.embed_with_images
+                    )
+                inputs_embeds = self._embed_images_fn(
+                    self.params, jnp.asarray(ids), jnp.asarray(pixel_values)
+                )
 
         suffix, first_pos, inputs_embeds = self._prefill_head_chunks(
             suffix, first_pos, sampling, penalties, bias_ids, bias_vals,

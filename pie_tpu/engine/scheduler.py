@@ -753,7 +753,12 @@ class Scheduler:
             or not hasattr(e.model, "paged_forward"),
             use_bias=bool((self.bias_ids >= 0).any()),
         )
-        emitted = np.asarray(emitted)  # [N, B] — the chunk's ONE host sync
+        # ONE batched host sync for the whole chunk: device_get fetches all
+        # six arrays in parallel (sequential np.asarray calls pay a full
+        # dispatch-tunnel round trip EACH)
+        emitted, last, ctx, hist, done, prod = jax.device_get(
+            (emitted, last, ctx, hist, done, prod)
+        )
         # np.array (not asarray): device->host views are read-only and the
         # planner mutates these mirrors in place
         self.last_tokens = np.array(last)

@@ -72,7 +72,8 @@ class LlamaConfig(BaseConfig):
 
 
 def linear(
-    x: jax.Array, w, bias=None, layer=None, rope_cs=None, rope_dim=0
+    x: jax.Array, w, bias=None, layer=None, rope_cs=None, rope_dim=0,
+    ln_w=None, ln_eps=0.0,
 ) -> jax.Array:
     """Apply a (possibly quantized) linear layer.
 
@@ -83,11 +84,19 @@ def linear(
     fuses into the dot).
 
     rope_cs/rope_dim: fused rope epilogue for a bias-free fused-QKV
-    projection (ops/rope.py:rope_qkv_cs)."""
+    projection (ops/rope.py:rope_qkv_cs).
+    ln_w/ln_eps: fused rms-norm prologue (decode path): x is the pre-norm
+    residual stream; the Pallas kernel normalizes in-register."""
     if isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, layer=layer, rope_cs=rope_cs,
-                             rope_dim=rope_dim)
+                             rope_dim=rope_dim, ln_w=ln_w, ln_eps=ln_eps)
     else:
+        if ln_w is not None:
+            lw = (
+                jax.lax.dynamic_index_in_dim(ln_w, layer, 0, keepdims=False)
+                if layer is not None and ln_w.ndim == 2 else ln_w
+            )
+            x = rms_norm(x, lw, ln_eps)
         if layer is not None and w.ndim == 3:
             w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.dot(
@@ -355,18 +364,25 @@ class LlamaModel:
 
     # -- projection helpers (fused or per-matrix) -------------------------
 
-    def _attn_proj(self, p, x, b, t, layer=None, rope_cs=None, rope_dim=0):
+    def _attn_proj(self, p, x, b, t, layer=None, rope_cs=None, rope_dim=0,
+                   ln_w=None, ln_eps=0.0):
         cfg = self.config
         dh = cfg.resolved_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         if "wqkv" in p:
             y = linear(x, p["wqkv"], layer=layer, rope_cs=rope_cs,
-                       rope_dim=rope_dim)
+                       rope_dim=rope_dim, ln_w=ln_w, ln_eps=ln_eps)
             nq, nk = hq * dh, hkv * dh
             q = y[..., :nq]
             k = y[..., nq : nq + nk]
             v = y[..., nq + nk :]
         else:
+            if ln_w is not None:
+                lw = (
+                    _dyn(ln_w, layer)
+                    if layer is not None and ln_w.ndim == 2 else ln_w
+                )
+                x = rms_norm(x, lw, ln_eps)
             q = linear(x, p["wq"], p.get("bq"), layer=layer)
             k = linear(x, p["wk"], p.get("bk"), layer=layer)
             v = linear(x, p["wv"], p.get("bv"), layer=layer)
@@ -389,8 +405,8 @@ class LlamaModel:
     def _fused_mlp_ok(self, p, m: int) -> bool:
         """Static gate for the one-launch decode MLP-block kernel
         (ops/fused_mlp_pallas): decode-sized batch, quantized fused
-        weights, single chip, no ablations."""
-        if self._ablate or self.mesh is not None:
+        weights, single chip, no conflicting ablations."""
+        if self._ablate & {"nomlp", "nofusedmlp"} or self.mesh is not None:
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -429,14 +445,21 @@ class LlamaModel:
     def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
         return params["embed"][input_ids]
 
-    def unembed(self, params: dict, h: jax.Array) -> jax.Array:
+    def unembed(self, params: dict, h: jax.Array, ln_w=None,
+                ln_eps: float = 0.0) -> jax.Array:
+        """Project to vocab logits. ln_w/ln_eps: the final rms_norm folded
+        into the lm_head projection's in-kernel prologue (decode path) —
+        callers then pass the PRE-norm hidden state."""
+        if ln_w is not None and "lm_head" not in params:
+            h = rms_norm(h, ln_w, ln_eps)
+            ln_w = None
         if "nohead" in self._ablate:
             return jnp.broadcast_to(
                 h.sum(-1, keepdims=True),
                 h.shape[:-1] + (self.config.vocab_size,),
             )
         if "lm_head" in params:
-            return linear(h, params["lm_head"])
+            return linear(h, params["lm_head"], ln_w=ln_w, ln_eps=ln_eps)
         return jnp.einsum(
             "btd,vd->btv",
             h,
@@ -506,16 +529,24 @@ class LlamaModel:
         _abl = self._ablate
         p = params["layers"]
         use_fused_mlp = self._fused_mlp_ok(p, b * t)
+        # decode: ln1 folds into the QKV projection as an in-kernel prologue
+        # (quant_matmul_stacked ln_w) — one fewer XLA launch per layer
+        fused_ln = t == 1 and b * t <= 32
 
         def layer_fn(carry, i):
             if quantized:
                 h, ckq_all, cks_all, cvq_all, cvs_all = carry
             else:
                 h, ck_all, cv_all = carry
-            x = rms_norm(h, _dyn(p["ln1"], i), eps)
+            if fused_ln:
+                x = h
+                ln_kw = dict(ln_w=p["ln1"], ln_eps=eps)
+            else:
+                x = rms_norm(h, _dyn(p["ln1"], i), eps)
+                ln_kw = {}
             q, k, v = self._attn_proj(
                 p, x, b, t, layer=i, rope_cs=rope_cs,
-                rope_dim=dh if fused_rope else 0,
+                rope_dim=dh if fused_rope else 0, **ln_kw,
             )
             # Megatron layout: heads live on "tp" between the column- and
             # row-parallel projections, residual stream replicated over tp
@@ -527,11 +558,9 @@ class LlamaModel:
                 k = rope_fn(k)
 
             if "nocache" in _abl:
-                attn = q
-                h = h + linear(attn.reshape(b, t, hq * dh), p["wo"], layer=i)
-                x = rms_norm(h, _dyn(p["ln2"], i), eps)
-                if "nomlp" not in _abl:
-                    h = h + self._mlp(p, x, layer=i)
+                h = self._mlp_block(
+                    p, h, q.reshape(b, t, hq * dh), i, eps, use_fused_mlp
+                )
                 if quantized:
                     return (h, ckq_all, cks_all, cvq_all, cvs_all), None
                 return (h, ck_all, cv_all), None
@@ -611,8 +640,11 @@ class LlamaModel:
             carry, _ = jax.lax.scan(layer_fn, (h, cache.k, cache.v), idxs)
             h = carry[0]
             cache = dataclasses.replace(cache, k=carry[1], v=carry[2])
-        h = rms_norm(h, params["norm"], eps)
-        logits = self.unembed(params, h)
+        if fused_ln and "lm_head" in params:
+            logits = self.unembed(params, h, params["norm"], eps)
+        else:
+            h = rms_norm(h, params["norm"], eps)
+            logits = self.unembed(params, h)
         return logits.astype(jnp.float32), cache
 
     def make_cache_shape(self, batch: int, max_len: int) -> tuple:
@@ -705,16 +737,22 @@ class LlamaModel:
 
         lp = params["layers"]
         use_fused_mlp = decode and self._fused_mlp_ok(lp, b * t)
+        fused_ln = decode and b * t <= 32
 
         def layer_fn(carry, i):
             if quantized:
                 h, apk, apv, apks, apvs = carry
             else:
                 h, apk, apv = carry
-            x = rms_norm(h, _dyn(lp["ln1"], i), eps)
+            if fused_ln:
+                x = h
+                ln_kw = dict(ln_w=lp["ln1"], ln_eps=eps)
+            else:
+                x = rms_norm(h, _dyn(lp["ln1"], i), eps)
+                ln_kw = {}
             q, k, v = self._attn_proj(
                 lp, x, b, t, layer=i, rope_cs=rope_cs,
-                rope_dim=dh if fused_rope else 0,
+                rope_dim=dh if fused_rope else 0, **ln_kw,
             )
             if not fused_rope:
                 q = rope_fn(q)
@@ -810,8 +848,11 @@ class LlamaModel:
             carry, _ = jax.lax.scan(layer_fn, (h, pool.k, pool.v), idxs)
             h = carry[0]
             pool = dataclasses.replace(pool, k=carry[1], v=carry[2])
-        h = rms_norm(h, params["norm"], eps)
-        logits = self.unembed(params, h)
+        if fused_ln and "lm_head" in params:
+            logits = self.unembed(params, h, params["norm"], eps)
+        else:
+            h = rms_norm(h, params["norm"], eps)
+            logits = self.unembed(params, h)
         return logits.astype(jnp.float32), pool
 
 

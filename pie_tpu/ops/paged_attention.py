@@ -105,8 +105,12 @@ def paged_attention_xla(
     ) * scale
     valid = jnp.arange(s)[None, :] < context_lens[:, None]
     if window is not None:
-        # decode query sits at position ctx-1: attend kv pos > q - window
-        valid &= jnp.arange(s)[None, :] >= (context_lens[:, None] - window)
+        # decode query sits at position ctx-1: attend kv pos > q - window.
+        # window may be a traced scalar (gemma-3 per-layer select inside a
+        # scan); <= 0 means full attention, matching the Pallas kernel.
+        w = jnp.asarray(window)
+        lo = jnp.where(w > 0, context_lens[:, None] - w, 0)
+        valid &= jnp.arange(s)[None, :] >= lo
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhrs,bshd->bhrd", probs, v.astype(jnp.float32))
@@ -122,6 +126,10 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # [B, maxP] SMEM
     context_lens_ref,  # [B] SMEM
+    window_ref,  # [1] SMEM — sliding-window width (<=0 = full attention;
+    #              TRACED so gemma-3's per-layer sliding/global select works
+    #              inside one lax.scan, reference models/gemma/language.py:
+    #              219-236 dual masks)
     # inputs
     q_ref,  # [1, Hq, D] VMEM block for this b
     k_pool_ref,  # [P, Hkv*rows, f*D] in ANY/HBM (folded view); with
@@ -148,6 +156,12 @@ def _decode_kernel(
     b = pl.program_id(0)
     ctx_len = context_lens_ref[b]
     num_pages = pl.cdiv(ctx_len, PAGE_SIZE)
+    win = window_ref[0]
+    # first kv position a windowed query may attend (window covers the
+    # query itself at ctx-1: positions >= ctx - win); page walk starts at
+    # its page so out-of-window pages are never DMA'd
+    lo = jnp.where(win > 0, jnp.maximum(ctx_len - win, 0), 0)
+    start_page = lo // PAGE_SIZE
     d = q_ref.shape[-1]
     hq = num_kv_heads * rep
     rows = PAGE_SIZE // fold
@@ -189,9 +203,9 @@ def _decode_kernel(
             ]
         return copies
 
-    @pl.when(num_pages > 0)
+    @pl.when(num_pages > start_page)
     def _():
-        for c in page_dma(0, 0):
+        for c in page_dma(start_page % 2, start_page):
             c.start()
 
     q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
@@ -239,7 +253,12 @@ def _decode_kernel(
         )  # [Hq, S]
         if quantized:
             scores = scores * ks_buf[slot]  # [1, S] broadcast
-        valid = head_ok & (in_page_pos < ctx_len - p * PAGE_SIZE)
+        page0 = p * PAGE_SIZE
+        valid = (
+            head_ok
+            & (in_page_pos < ctx_len - page0)
+            & (in_page_pos >= lo - page0)
+        )
         scores = jnp.where(valid, scores, NEG_INF)
 
         page_m = jnp.max(scores, axis=-1, keepdims=True)  # [Hq, 1]
@@ -267,15 +286,16 @@ def _decode_kernel(
         jnp.zeros((hq, 1), jnp.float32),
         jnp.zeros((hq, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, num_pages, body, init)
+    m, l, acc = jax.lax.fori_loop(start_page, num_pages, body, init)
     out = acc / jnp.maximum(l, 1e-30)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _decode_kernel_stacked(bt_ref, ctx_ref, layer_ref, q_ref, k_ref, v_ref,
-                           ks_ref, vs_ref, out_ref, *scratch, **params):
-    _decode_kernel(bt_ref, ctx_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   out_ref, *scratch, layer_ref=layer_ref, **params)
+def _decode_kernel_stacked(bt_ref, ctx_ref, win_ref, layer_ref, q_ref,
+                           k_ref, v_ref, ks_ref, vs_ref, out_ref, *scratch,
+                           **params):
+    _decode_kernel(bt_ref, ctx_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
+                   vs_ref, out_ref, *scratch, layer_ref=layer_ref, **params)
 
 
 @functools.partial(
@@ -291,6 +311,7 @@ def paged_attention_decode_stacked(
     block_tables: jax.Array,  # [B, maxP]
     context_lens: jax.Array,  # [B]
     scale: float,
+    window=None,  # traced scalar int32 (<=0/None = full attention)
     interpret: bool = False,
 ) -> jax.Array:
     """Decode paged attention over the FULL layer-stacked pool: the layer
@@ -321,8 +342,11 @@ def paged_attention_decode_stacked(
         ksf = jnp.zeros((1, 1, 128), jnp.float32)
         vsf = jnp.zeros((1, 1, 128), jnp.float32)
 
+    win_arr = jnp.asarray(
+        0 if window is None else window, jnp.int32
+    ).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
@@ -353,7 +377,7 @@ def paged_attention_decode_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(block_tables, context_lens,
+    )(block_tables, context_lens, win_arr,
       jnp.stack([jnp.asarray(layer, jnp.int32),
                  jnp.asarray(nl, jnp.int32)]), q, kf, vf, ksf, vsf)
 
@@ -370,6 +394,7 @@ def paged_attention_decode(
     block_tables: jax.Array,  # [B, maxP]
     context_lens: jax.Array,  # [B]
     scale: float,
+    window=None,  # traced scalar int32 (<=0/None = full attention)
     interpret: bool = False,
 ) -> jax.Array:
     b, hq, d = q.shape
@@ -396,8 +421,11 @@ def paged_attention_decode(
         ksf = jnp.zeros((1, 1, 128), jnp.float32)
         vsf = jnp.zeros((1, 1, 128), jnp.float32)
 
+    win_arr = jnp.asarray(
+        0 if window is None else window, jnp.int32
+    ).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
@@ -428,4 +456,4 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(block_tables, context_lens, q, kf, vf, ksf, vsf)
+    )(block_tables, context_lens, win_arr, q, kf, vf, ksf, vsf)

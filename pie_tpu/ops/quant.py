@@ -315,6 +315,8 @@ def quantized_matmul(
     layer: Optional[jax.Array] = None,
     rope_cs=None,
     rope_dim: int = 0,
+    ln_w: Optional[jax.Array] = None,
+    ln_eps: float = 0.0,
 ) -> jax.Array:
     """``y = x @ W`` with W group-wise quantized in KN layout.
 
@@ -350,13 +352,26 @@ def quantized_matmul(
             xm = jnp.pad(xm, [(0, 0), (0, qt.padded_k - k)])
         if stacked:
             y = quant_matmul_stacked(
-                xm, layer, qt, rope_cs=rope_cs, rope_dim=rope_dim
+                xm, layer, qt, rope_cs=rope_cs, rope_dim=rope_dim,
+                ln_w=ln_w, ln_eps=ln_eps,
             )
         else:
             y = quant_matmul_pallas(
-                xm, qt, rope_cs=rope_cs, rope_dim=rope_dim
+                xm, qt, rope_cs=rope_cs, rope_dim=rope_dim,
+                ln_w=ln_w, ln_eps=ln_eps,
             )
     elif impl == "xla":
+        if ln_w is not None:
+            # prologue parity for the fallback: normalize before the dot
+            lw = (
+                jax.lax.dynamic_index_in_dim(ln_w, layer, 0, False)
+                if stacked and ln_w.ndim == 2 else ln_w.reshape(-1)
+            )
+            xf = xm.astype(jnp.float32)
+            inv = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + ln_eps
+            )
+            xm = (xf * inv * lw.astype(jnp.float32)).astype(xm.dtype)
         if stacked:
             qt = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False),

@@ -199,7 +199,8 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
 
 def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
             bits: int, group_size: int, bk: int, bm: int, out_dtype,
-            cos_ref=None, sin_ref=None, rope_half: int = 0):
+            cos_ref=None, sin_ref=None, rope_half: int = 0,
+            lnw_ref=None, ln_eps: float = 0.0, ln_k: int = 0):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -207,7 +208,23 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xb = x_ref[:].astype(jnp.bfloat16)
+    if lnw_ref is not None:
+        # rms-norm prologue: x_ref holds the FULL pre-norm row (index map
+        # pins the K block to 0), so the row statistic is exact; the pad
+        # region is zero and ln_k carries the logical K for the mean.
+        # Recomputing the reduction per grid step costs ~bm*K VPU ops —
+        # noise next to the packed-weight stream — and deletes the
+        # standalone XLA rms_norm between the MLP-block kernel and this
+        # projection (one fewer launch per layer).
+        xf = x_ref[:].astype(jnp.float32)
+        inv = jax.lax.rsqrt(
+            jnp.sum(xf * xf, axis=-1, keepdims=True) / ln_k + ln_eps
+        )
+        xsl = x_ref[:, pl.ds(kk * bk, bk)].astype(jnp.float32)
+        wsl = lnw_ref[0, pl.ds(kk * bk, bk)].astype(jnp.float32)
+        xb = (xsl * inv * wsl[None, :]).astype(jnp.bfloat16)
+    else:
+        xb = x_ref[:].astype(jnp.bfloat16)
     acc_ref[:] = _accum_block(
         xb, packed_ref, scales_ref, biases_ref, acc_ref[:],
         bits=bits, group_size=group_size, bk=bk, bm=bm,
@@ -222,7 +239,8 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "rope_dim", "interpret")
+    jax.jit,
+    static_argnames=("bm", "bn", "bk", "rope_dim", "ln_eps", "interpret"),
 )
 def quant_matmul_pallas(
     x: jax.Array,
@@ -232,6 +250,8 @@ def quant_matmul_pallas(
     bk: int | None = None,
     rope_cs=None,
     rope_dim: int = 0,
+    ln_w: jax.Array | None = None,
+    ln_eps: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
     """x: [M, K_padded] -> [M, N]. K_padded = qt.padded_k.
@@ -239,7 +259,10 @@ def quant_matmul_pallas(
     rope_cs/rope_dim: optional fused-QKV rope epilogue — (cos, sin) rows
     [M, N] from ops/rope.py:rope_qkv_cs and the head_dim; the rotation is
     applied to the f32 accumulator before the output cast, costing nothing
-    on the HBM-bound decode path."""
+    on the HBM-bound decode path.
+
+    ln_w/ln_eps: optional fused rms-norm prologue (decode-sized M): x is
+    the pre-norm row; used to fold the final norm into the lm_head stream."""
     m, kpad = x.shape
     assert kpad == qt.padded_k, (kpad, qt.padded_k)
     n = qt.shape[1]
@@ -263,20 +286,36 @@ def quant_matmul_pallas(
     bn, bk = _fit_tiles(bm, bn, bk, ep, g)
     if rope_dim:
         assert rope_cs is not None and bn % rope_dim == 0, (bn, rope_dim)
+    use_ln = ln_w is not None
+    if use_ln:
+        assert decode, "ln prologue is decode-only (full-row x block)"
+        ln_w = ln_w.reshape(1, -1)
+        if ln_w.shape[-1] < kpad:
+            ln_w = jnp.pad(ln_w, ((0, 0), (0, kpad - ln_w.shape[-1])))
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
 
     kernel = functools.partial(
         _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype,
         rope_half=rope_dim // 2,
+        ln_eps=ln_eps, ln_k=qt.shape[0] if use_ln else 0,
     )
-    if rope_dim:
-        base = kernel
-
+    base = kernel
+    if rope_dim and use_ln:
+        def kernel(x_ref, packed_ref, scales_ref, biases_ref, cos_ref,
+                   sin_ref, lnw_ref, out_ref, acc_ref):
+            base(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref,
+                 cos_ref=cos_ref, sin_ref=sin_ref, lnw_ref=lnw_ref)
+    elif rope_dim:
         def kernel(x_ref, packed_ref, scales_ref, biases_ref, cos_ref,
                    sin_ref, out_ref, acc_ref):
             base(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref,
                  cos_ref=cos_ref, sin_ref=sin_ref)
+    elif use_ln:
+        def kernel(x_ref, packed_ref, scales_ref, biases_ref, lnw_ref,
+                   out_ref, acc_ref):
+            base(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref,
+                 lnw_ref=lnw_ref)
 
     flops = 2 * m * n * kpad
     bytes_accessed = (
@@ -284,7 +323,10 @@ def quant_matmul_pallas(
         + m * kpad * x.dtype.itemsize + m * n * x.dtype.itemsize
     )
     in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec(
+            (bm, kpad if use_ln else bk),
+            (lambda i, j, k: (i, 0)) if use_ln else (lambda i, j, k: (i, k)),
+        ),
         pl.BlockSpec((bk // ep, bn), lambda i, j, k: (k, j)),
         pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
         pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j)),
@@ -296,6 +338,9 @@ def quant_matmul_pallas(
             pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         ]
         operands += [rope_cs[0], rope_cs[1]]
+    if use_ln:
+        in_specs += [pl.BlockSpec((1, kpad), lambda i, j, k: (0, 0))]
+        operands += [ln_w]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -325,7 +370,8 @@ def _stacked_index_maps():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "rope_dim", "interpret")
+    jax.jit,
+    static_argnames=("bm", "bn", "bk", "rope_dim", "ln_eps", "interpret"),
 )
 def quant_matmul_stacked(
     x: jax.Array,
@@ -336,6 +382,8 @@ def quant_matmul_stacked(
     bk: int | None = None,
     rope_cs=None,
     rope_dim: int = 0,
+    ln_w: jax.Array | None = None,
+    ln_eps: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ W[layer]`` for layer-stacked quantized weights.
@@ -346,6 +394,11 @@ def quant_matmul_stacked(
     pays zero slice-copy (the naive ``scan`` over stacked weights
     materializes each layer's [K, N] slice before a plain kernel can read
     it, doubling HBM traffic).
+
+    ln_w/ln_eps: optional fused rms-norm prologue — ln_w is the stacked
+    [L, K] norm weight; x is then the PRE-NORM residual stream and the
+    kernel normalizes it in-register (decode-sized M only), deleting the
+    standalone XLA rms_norm launch per layer.
     """
     m, kpad = x.shape
     assert qt.packed.ndim == 3, "use quant_matmul_pallas for unstacked weights"
@@ -368,20 +421,31 @@ def quant_matmul_stacked(
     bn, bk = _fit_tiles(bm, bn, bk, ep, g)
     if rope_dim:
         assert rope_cs is not None and bn % rope_dim == 0, (bn, rope_dim)
+    use_ln = ln_w is not None
+    if use_ln:
+        assert decode, "ln prologue is decode-only (full-row x block)"
+        if ln_w.shape[-1] < kpad:
+            ln_w = jnp.pad(ln_w, ((0, 0), (0, kpad - ln_w.shape[-1])))
+        # [L, 1, Kp]: Mosaic requires the block's last two dims to match
+        # the array (a (1, Kp) block over [L, Kp] fails the 8-sublane rule)
+        ln_w = ln_w[:, None, :]
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
     kernel = functools.partial(
         _kernel, bits=qt.bits, group_size=g, bk=bk, bm=bm, out_dtype=x.dtype,
         rope_half=rope_dim // 2,
+        ln_eps=ln_eps, ln_k=qt.shape[0] if use_ln else 0,
     )
     xmap, pmap, smap, bmap = _stacked_index_maps()
+    if use_ln:
+        xmap = lambda i, j, k, s: (i, 0)  # full-row block for the norm
     flops = 2 * m * n * kpad
     bytes_accessed = (
         kpad * n // ep * 4 + 2 * (kpad // g) * n * qt.scales.dtype.itemsize
         + m * kpad * x.dtype.itemsize + m * n * x.dtype.itemsize
     )
     in_specs = [
-        pl.BlockSpec((bm, bk), xmap),
+        pl.BlockSpec((bm, kpad if use_ln else bk), xmap),
         pl.BlockSpec((1, bk // ep, bn), pmap),
         pl.BlockSpec((1, bk // g, bn), smap),
         pl.BlockSpec((1, bk // g, bn), bmap),
@@ -393,6 +457,11 @@ def quant_matmul_stacked(
             pl.BlockSpec((bm, bn), lambda i, j, k, s: (i, j)),
         ]
         operands += [rope_cs[0], rope_cs[1]]
+    if use_ln:
+        in_specs += [
+            pl.BlockSpec((1, 1, kpad), lambda i, j, k, s: (s[0], 0, 0)),
+        ]
+        operands += [ln_w]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -401,12 +470,23 @@ def quant_matmul_stacked(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
 
-    if rope_dim:
+    if rope_dim and use_ln:
+        def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
+                           cos_ref, sin_ref, lnw_ref, out_ref, acc_ref):
+            kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
+                   biases_ref.at[0], out_ref, acc_ref,
+                   cos_ref=cos_ref, sin_ref=sin_ref, lnw_ref=lnw_ref.at[0])
+    elif rope_dim:
         def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
                            cos_ref, sin_ref, out_ref, acc_ref):
             kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
                    biases_ref.at[0], out_ref, acc_ref,
                    cos_ref=cos_ref, sin_ref=sin_ref)
+    elif use_ln:
+        def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
+                           lnw_ref, out_ref, acc_ref):
+            kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
+                   biases_ref.at[0], out_ref, acc_ref, lnw_ref=lnw_ref.at[0])
     else:
         def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
                            out_ref, acc_ref):

@@ -454,6 +454,9 @@ def create_app(
                 num_lanes=settings.num_lanes,
                 num_pages=settings.num_pages,
                 kv_quantized=settings.kv_quantized,
+                scheduler_impl=(
+                    "native" if settings.native_scheduler else "python"
+                ),
             )
         else:
             engine = InferenceEngine(

@@ -19,6 +19,9 @@ class Settings:
     batching: bool = False
     num_lanes: int = 8
     num_pages: int = 1024
+    # NATIVE_SCHEDULER=1: drive the batching engine with the C++ host
+    # scheduler (runtime/native_scheduler) instead of the python planner
+    native_scheduler: bool = False
 
     @classmethod
     def load(cls) -> "Settings":
@@ -41,6 +44,8 @@ class Settings:
             batching=get("BATCHING", "0") in ("1", "true", "True"),
             num_lanes=int(get("NUM_LANES", "8")),
             num_pages=int(get("NUM_PAGES", "1024")),
+            native_scheduler=get("NATIVE_SCHEDULER", "0")
+            in ("1", "true", "True"),
         )
 
 

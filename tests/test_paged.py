@@ -202,3 +202,45 @@ def test_pallas_decode_kernel_stacked_matches_xla(quantized):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
         )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("window", [64, 100, 1 << 20])
+def test_pallas_decode_kernel_window(quantized, window):
+    """Sliding-window decode (gemma-3 layers, reference
+    models/gemma/language.py:219-236): the kernel starts its page walk at
+    the window's first page and masks the partial page; a huge window
+    degrades to full attention."""
+    b, hkv, hq, d = 2, 2, 4, 16
+    pool, bt, ks, vs, lens_arr = _setup_pool(
+        b, (70, 130), hkv, hq, d, quantized=quantized
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)).astype(np.float32))
+    scale = d**-0.5
+    ref = paged_attention_xla(
+        q, pool.k[0], pool.v[0], bt, lens_arr, scale,
+        pool.k_scale[0] if quantized else None,
+        pool.v_scale[0] if quantized else None,
+        window=window,
+    )
+    out = paged_attention_decode(
+        q, pool.k[0], pool.v[0], pool.k_scale[0], pool.v_scale[0],
+        bt, lens_arr, scale, window=jnp.int32(window), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+    )
+    # traced window == 0 must equal full attention
+    full_ref = paged_attention_xla(
+        q, pool.k[0], pool.v[0], bt, lens_arr, scale,
+        pool.k_scale[0] if quantized else None,
+        pool.v_scale[0] if quantized else None,
+    )
+    full = paged_attention_decode(
+        q, pool.k[0], pool.v[0], pool.k_scale[0], pool.v_scale[0],
+        bt, lens_arr, scale, window=jnp.int32(0), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(full_ref), atol=2e-3, rtol=2e-3
+    )

@@ -235,3 +235,55 @@ def test_rope_epilogue_kernel_matches_reference(dh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=0, atol=1e-5
     )
+
+
+def test_ln_prologue_kernel_matches_reference():
+    """Fused rms-norm prologue (quant_matmul_stacked ln_w, interpret mode)
+    == rms_norm then matmul (the per-layer ln1 fold, models/llama.py
+    layer_fn decode path)."""
+    from pie_tpu.ops.quant_matmul_pallas import (
+        quant_matmul_pallas,
+        quant_matmul_stacked,
+    )
+
+    k, n, m, L = 512, 256, 8, 2
+    eps = 1e-5
+    ws = jax.random.normal(jax.random.PRNGKey(11), (L, k, n), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(12), (m, k), jnp.float32)
+    lnw = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(13), (L, k),
+                                        jnp.float32)
+    qts = [quantize(ws[i], 64, 4) for i in range(L)]
+    stacked = QuantizedTensor(
+        packed=jnp.stack([q.packed for q in qts]),
+        scales=jnp.stack([q.scales for q in qts]),
+        biases=jnp.stack([q.biases for q in qts]),
+        bits=4,
+        group_size=64,
+        shape=(k, n),
+    )
+
+    def ref_norm(xv, w):
+        xf = xv.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        return (xf * inv * w).astype(xv.dtype)
+
+    for i in range(L):
+        want = np.asarray(
+            quant_matmul_pallas(ref_norm(x, lnw[i]), qts[i], interpret=True)
+        )
+        got = np.asarray(
+            quant_matmul_stacked(
+                x, i, stacked, ln_w=lnw, ln_eps=eps, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+    # unstacked variant (final-norm -> lm_head fold)
+    want = np.asarray(
+        quant_matmul_pallas(ref_norm(x, lnw[0]), qts[0], interpret=True)
+    )
+    got = np.asarray(
+        quant_matmul_pallas(
+            x, qts[0], ln_w=lnw[0], ln_eps=eps, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
+
+pytestmark = pytest.mark.slow  # heavy torch-parity suite (fast path: -m "not slow")
 pytest.importorskip("transformers.models.qwen2_5_vl")
 
 from pie_tpu.models.qwen2_vl import Qwen2VisionTower
