@@ -426,9 +426,11 @@ def quant_matmul_stacked(
         assert decode, "ln prologue is decode-only (full-row x block)"
         if ln_w.shape[-1] < kpad:
             ln_w = jnp.pad(ln_w, ((0, 0), (0, kpad - ln_w.shape[-1])))
-        # [L, 1, Kp]: Mosaic requires the block's last two dims to match
-        # the array (a (1, Kp) block over [L, Kp] fails the 8-sublane rule)
-        ln_w = ln_w[:, None, :]
+        # select the layer's row OUTSIDE the kernel (a 16 KB XLA slice):
+        # a [L, 1, Kp] bf16 operand sliced at[layer] inside trips Mosaic's
+        # sublane tiling ("slice along dim 1 must be aligned to tiling"),
+        # while a [1, Kp] block equal to its array is always legal
+        ln_w = jax.lax.dynamic_index_in_dim(ln_w, layer, 0, keepdims=True)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
     kernel = functools.partial(
@@ -459,7 +461,7 @@ def quant_matmul_stacked(
         operands += [rope_cs[0], rope_cs[1]]
     if use_ln:
         in_specs += [
-            pl.BlockSpec((1, 1, kpad), lambda i, j, k, s: (s[0], 0, 0)),
+            pl.BlockSpec((1, kpad), lambda i, j, k, s: (0, 0)),
         ]
         operands += [ln_w]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -475,7 +477,7 @@ def quant_matmul_stacked(
                            cos_ref, sin_ref, lnw_ref, out_ref, acc_ref):
             kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
                    biases_ref.at[0], out_ref, acc_ref,
-                   cos_ref=cos_ref, sin_ref=sin_ref, lnw_ref=lnw_ref.at[0])
+                   cos_ref=cos_ref, sin_ref=sin_ref, lnw_ref=lnw_ref)
     elif rope_dim:
         def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
                            cos_ref, sin_ref, out_ref, acc_ref):
@@ -486,7 +488,7 @@ def quant_matmul_stacked(
         def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
                            lnw_ref, out_ref, acc_ref):
             kernel(x_ref, packed_ref.at[0], scales_ref.at[0],
-                   biases_ref.at[0], out_ref, acc_ref, lnw_ref=lnw_ref.at[0])
+                   biases_ref.at[0], out_ref, acc_ref, lnw_ref=lnw_ref)
     else:
         def kernel_stacked(s_ref, x_ref, packed_ref, scales_ref, biases_ref,
                            out_ref, acc_ref):

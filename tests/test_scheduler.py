@@ -139,3 +139,40 @@ def test_lane_reuse_many_requests(model_params, reference_outputs):
     for s in seqs:
         assert s.output_ids == expected["a"]
     assert len(sched.free_lanes) == 2
+
+
+def test_direct_prefill_matches_single_stream(model_params):
+    """Long prompts prefill via DEDICATED bucketed programs (one M=C
+    weight stream per chunk) instead of rider slices; tokens must match
+    the single-stream engine exactly, including while other lanes
+    decode."""
+    model, params = model_params
+    engine = InferenceEngine(
+        model=model, params=params, max_seq_len=256, kv_dtype=jnp.float32,
+        decode_chunk=8, prompt_cache=False,
+    )
+    long_prompt = list(range(10, 90))  # 80 tokens
+    short_prompt = [5, 17, 42, 7]
+    want_long = engine.generate(
+        long_prompt, max_completion_tokens=10, temperature=0.0
+    ).token_ids
+    want_short = engine.generate(
+        short_prompt, max_completion_tokens=10, temperature=0.0
+    ).token_ids
+
+    eng = PagedEngine(
+        model, params, num_lanes=4, num_pages=32, max_pages_per_seq=8,
+        prefill_chunk=32, rider_width=8, kv_dtype=jnp.float32,
+    )
+    sched = Scheduler(eng)
+    # a decoding lane is already live when the long prompt arrives
+    s_short = sched.add_request(
+        short_prompt, max_new_tokens=10, temperature=0.0
+    )
+    sched.step()
+    s_long = sched.add_request(
+        long_prompt, max_new_tokens=10, temperature=0.0
+    )
+    sched.run_to_completion(max_steps=200)
+    assert s_long.output_ids == want_long, (s_long.output_ids, want_long)
+    assert s_short.output_ids == want_short, (s_short.output_ids, want_short)
