@@ -402,10 +402,20 @@ class LlamaModel:
             u = linear(x, p["wu"], layer=layer)
         return linear(jax.nn.silu(g) * u, p["wd"], layer=layer)
 
+    #: opt-in for the one-launch decode MLP-block kernel: in isolation it
+    #: matches the 3-launch sequence (156.6 vs 155.6 us/layer, bench_op on
+    #: v5e), but inside the full decode program it reads 0.5-0.9 ms/token
+    #: SLOWER in every paired A/B this round — XLA schedules the 3-launch
+    #: form better around the attention/cache ops. Kernel + tests stay;
+    #: flip this on only with a measured e2e win.
+    use_fused_mlp_kernel = False
+
     def _fused_mlp_ok(self, p, m: int) -> bool:
         """Static gate for the one-launch decode MLP-block kernel
         (ops/fused_mlp_pallas): decode-sized batch, quantized fused
         weights, single chip, no conflicting ablations."""
+        if not self.use_fused_mlp_kernel:
+            return False
         if self._ablate & {"nomlp", "nofusedmlp"} or self.mesh is not None:
             return False
         if jax.default_backend() != "tpu":
@@ -531,7 +541,7 @@ class LlamaModel:
         use_fused_mlp = self._fused_mlp_ok(p, b * t)
         # decode: ln1 folds into the QKV projection as an in-kernel prologue
         # (quant_matmul_stacked ln_w) — one fewer XLA launch per layer
-        fused_ln = t == 1 and b * t <= 32
+        fused_ln = t == 1 and b * t <= 32 and "noln" not in self._ablate
 
         def layer_fn(carry, i):
             if quantized:
@@ -737,7 +747,7 @@ class LlamaModel:
 
         lp = params["layers"]
         use_fused_mlp = decode and self._fused_mlp_ok(lp, b * t)
-        fused_ln = decode and b * t <= 32
+        fused_ln = decode and b * t <= 32 and "noln" not in self._ablate
 
         def layer_fn(carry, i):
             if quantized:

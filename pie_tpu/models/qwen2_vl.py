@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, dequantize_kv, quantize_kv
+from pie_tpu.cache.kv_cache import KVCache, QuantizedKVCache, quantize_kv
 from pie_tpu.models.config import BaseConfig, _filter_kwargs
 from pie_tpu.models.registry import register_model
 from pie_tpu.ops.attention import attention_mask, sdpa, sdpa_quantized
@@ -237,16 +237,18 @@ class Qwen2VLModel:
                 cks = cks.at[batch_idx, write_slots].set(ksc)
                 cvq = cvq.at[batch_idx, write_slots].set(vq)
                 cvs = cvs.at[batch_idx, write_slots].set(vsc)
-                ck = dequantize_kv(ckq, cks, q.dtype)
-                cv = dequantize_kv(cvq, cvs, q.dtype)
+                # attend directly on the int8 store (scales factor out of
+                # the dots) — no dequantized cache copy, same as llama
+                attn = sdpa_quantized(q, ckq, cks, cvq, cvs, mask, scale)
                 new_cache = (ckq, cks, cvq, cvs)
             else:
                 ck, cv = layer[1:3]
                 ck = ck.at[batch_idx, write_slots].set(k.astype(ck.dtype))
                 cv = cv.at[batch_idx, write_slots].set(v.astype(cv.dtype))
                 new_cache = (ck, cv)
-
-            attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
+                attn = sdpa(
+                    q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale
+                )
             h = h + linear(attn.reshape(b, t, hq * dh), p["wo"])
             x = rms_norm(h, p["ln2"], eps)
             g = linear(x, p["wg"])
