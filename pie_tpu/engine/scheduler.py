@@ -399,6 +399,14 @@ class Scheduler:
         self.max_bias = 16
         self.bias_ids = np.full((b, self.max_bias), -1, np.int32)
         self.bias_vals = np.zeros((b, self.max_bias), np.float32)
+        # steady-state chunk pipelining: the last dispatched chunk's
+        # device-resident lane state (inputs for the next chunk without a
+        # host round trip) and its not-yet-drained emitted tokens. Host
+        # mirrors lag the device by one chunk while in flight; draining
+        # the emitted array alone reconstructs them exactly (every active
+        # step emits a non-PAD token).
+        self._dev_state = None  # (last, ctx, hist, done, prod) on device
+        self._inflight = None  # (emitted device array, n)
 
     # -- public API ------------------------------------------------------
 
@@ -415,7 +423,7 @@ class Scheduler:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running or self._inflight)
 
     def run_to_completion(self, max_steps: int = 100000) -> None:
         for _ in range(max_steps):
@@ -442,7 +450,44 @@ class Scheduler:
         full prefill-sized weight stream (~4-5x a decode step), so padding
         a 16-step chunk with empty rider slots would burn ~0.5 s of slow
         steps per admission. Steady-state decode chunks stay at
-        decode_steps on the decode-only fast program (use_rider=False)."""
+        decode_steps on the decode-only fast program (use_rider=False).
+
+        PIPELINING: in pure steady-state decode (every lane DECODING, no
+        queue, no constrained machines) the next chunk is dispatched on
+        DEVICE-CHAINED lane state BEFORE the previous chunk's tokens are
+        fetched — the drain's host round trip overlaps the new chunk's
+        device time, so chunks run back to back. Host mirrors are
+        reconstructed exactly from the drained emitted array (one fetch
+        per chunk). Any admission / prefill / constrained work flushes the
+        pipeline first."""
+        steady = (
+            not self.waiting
+            and bool(self.running)
+            and all(
+                s.status == SeqStatus.DECODING and s.machine is None
+                and not s.cancelled
+                for s in self.running.values()
+            )
+        )
+        if steady:
+            n = self.decode_steps
+            hold = self._inflight[1] if self._inflight else 0
+            ok = True
+            for lane, seq in self.running.items():
+                if not self.manager.extend_seq(
+                    seq.seq_id, int(self.context_lens[lane]) + hold + n
+                ):
+                    ok = False
+                    break
+                self._sync_table(lane, seq)
+            if ok:
+                emitted = self._dispatch_steady(n)
+                finished = self._drain_inflight()
+                self._inflight = (emitted, n)
+                return finished
+        # pipeline flush: exact host mirrors before any planning
+        finished_prev = self._drain_inflight()
+        self._dev_state = None
         self._admit()
         self._direct_prefill()
         if any(s.machine is not None for s in self.running.values()):
@@ -465,8 +510,122 @@ class Scheduler:
             n = _bucket_chunk(need, self.decode_steps) if need else self.decode_steps
         plan = self._plan_chunk(n)
         if plan is None:
+            return finished_prev
+        return finished_prev + self._dispatch_and_drain(plan, n)
+
+    def _dispatch_steady(self, n: int):
+        """Dispatch one decode-only chunk with lane state CHAINED from the
+        previous chunk's device outputs (no host round trip between
+        chunks). Shares the compiled program with the sync steady chunk
+        (same static num_steps / flags)."""
+        e = self.engine
+        b = e.num_lanes
+        from pie_tpu.ops.sampling import sampler_kind_for
+
+        lanes = [
+            lane for lane, s in self.running.items()
+            if s.status == SeqStatus.DECODING
+        ]
+        skind = sampler_kind_for(
+            self.samp["temperature"][lanes], self.samp["top_p"][lanes],
+            self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+        )
+        sampling = SamplingParams(
+            temperature=jnp.asarray(self.samp["temperature"]),
+            top_p=jnp.asarray(self.samp["top_p"]),
+            min_p=jnp.asarray(self.samp["min_p"]),
+            top_k=jnp.asarray(self.samp["top_k"]),
+        )
+        if self._dev_state is not None:
+            last, ctx, hist, done, prod = self._dev_state
+        else:
+            last = jnp.asarray(self.last_tokens)
+            ctx = jnp.asarray(self.context_lens)
+            hist = jnp.asarray(self.histories)
+            done = jnp.asarray(self.done)
+            prod = jnp.asarray(self.produced)
+        cs = e.rider_width
+        (emitted, e.pool, last, ctx, hist, done, prod, e.key) = e._chunk(
+            e.params, e.pool, last, ctx,
+            jnp.asarray(self.block_tables), hist, done, prod,
+            jnp.asarray(self.max_new), jnp.asarray(self.stop_ids),
+            sampling,
+            jnp.asarray(self.pen["repetition"]),
+            jnp.asarray(self.pen["presence"]),
+            jnp.asarray(self.pen["frequency"]),
+            jnp.full((n, cs), -1, jnp.int32),
+            jnp.full((n, cs), -1, jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n, 1, 1), jnp.float32),
+            jnp.zeros((n,), bool),
+            jnp.full((b,), -1, jnp.int32),  # wake_step: no wakes
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            hist,  # wake_hist — unused (no wakes)
+            jnp.asarray(self.bias_ids),
+            jnp.asarray(self.bias_vals),
+            jnp.ones((1, 1), bool),
+            jnp.zeros((b,), bool),
+            jnp.full((b,), n, jnp.int32),
+            e.key,
+            num_steps=n,
+            sampler_kind=skind,
+            use_mask=False,
+            use_embeds=False,
+            use_rider=not hasattr(e.model, "paged_forward"),
+            use_bias=bool((self.bias_ids >= 0).any()),
+        )
+        self._dev_state = (last, ctx, hist, done, prod)
+        return emitted
+
+    def _drain_inflight(self) -> list[Sequence]:
+        """Fetch a pipelined chunk's emitted tokens (ONE host sync) and
+        reconstruct the host mirrors exactly: every active device step
+        emitted a non-PAD token, so per-lane counts recover ctx/produced
+        and the token values recover last/history."""
+        if self._inflight is None:
             return []
-        return self._dispatch_and_drain(plan, n)
+        emitted_dev, n = self._inflight
+        self._inflight = None
+        emitted = np.asarray(emitted_dev)  # [n, B]
+        h = self.engine.history_len
+        for lane in range(self.engine.num_lanes):
+            seq = self.running.get(lane)
+            if seq is None or seq.status != SeqStatus.DECODING:
+                continue
+            toks = emitted[:, lane]
+            valid = toks[toks != PAD_TOKEN]
+            cnt = len(valid)
+            if cnt:
+                self.last_tokens[lane] = valid[-1]
+                joined = np.concatenate([self.histories[lane], valid])
+                self.histories[lane] = joined[-h:]
+            self.context_lens[lane] += cnt
+            self.produced[lane] += cnt
+
+        finished: list[Sequence] = []
+        for lane in list(self.running.keys()):
+            seq = self.running[lane]
+            if seq.status != SeqStatus.DECODING:
+                continue
+            for s in range(n):
+                if seq.cancelled:
+                    self._finish(seq, "cancelled")
+                    finished.append(seq)
+                    break
+                tok = int(emitted[s, lane])
+                if tok == PAD_TOKEN:
+                    continue
+                self._emit(seq, tok)
+                if seq.status != SeqStatus.DECODING:
+                    finished.append(seq)
+                    break
+            else:
+                if seq.cancelled:
+                    self._finish(seq, "cancelled")
+                    finished.append(seq)
+        return finished
 
     def _direct_prefill(self):
         """Prefill LONG prompt bodies with dedicated bucketed programs
