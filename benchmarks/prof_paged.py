@@ -64,12 +64,20 @@ def main():
     sched = Scheduler(eng, decode_steps=args.steps)
     prompt = list(range(1, 65))
 
-    # stand up 8 decoding lanes through the real admission path
+    # stand up 8 decoding lanes through the real admission path.
+    # max_new must FIT the per-seq page budget or admission errors out
+    budget = args.pages and (12 * 64 - len(prompt) - 8)
     seqs = [
-        sched.add_request(prompt, max_new_tokens=4096, temperature=0.0)
+        sched.add_request(prompt, max_new_tokens=budget, temperature=0.0)
         for _ in range(b)
     ]
-    while any(s.status.value != "decoding" for s in seqs):
+    for _ in range(200):
+        if all(s.status.value == "decoding" for s in seqs):
+            break
+        if any(s.status.value in ("error", "completed") for s in seqs):
+            raise RuntimeError(
+                f"admission failed: {[s.finish_reason for s in seqs]}"
+            )
         sched.step()
     while int(sched.context_lens.max()) < args.ctx:
         sched.step()
@@ -178,14 +186,14 @@ def main():
     )
     print(f"paged-attn kernel (1 layer, b={b}): {dt*1e6:.1f} us", flush=True)
 
-    # pool layer slice cost (the _dyn(apk, i) copies paged_forward pays)
-    def slice_layer(i_arr, k):
-        return jax.lax.dynamic_index_in_dim(k, i_arr[0], 0, keepdims=False)
+    # pool layer slice cost (the _dyn(apk, i) copies paged_forward pays);
+    # float carry: bench_op scans fn(c, ...) with matching dtypes
+    def slice_probe(c, k):
+        i = jnp.int32(c[0]) % k.shape[0]
+        s = jax.lax.dynamic_index_in_dim(k, i, 0, keepdims=False)
+        return c + s.sum(dtype=jnp.float32) * jnp.float32(1e-30)
 
-    dt = bench_op(
-        lambda i_arr, k: slice_layer(i_arr, k).sum(dtype=jnp.float32)[None],
-        jnp.ones((1,), jnp.int32), pool_now.k,
-    )
+    dt = bench_op(slice_probe, jnp.ones((1,), jnp.float32), pool_now.k)
     print(f"pool k layer slice+reduce (1 layer): {dt*1e6:.1f} us", flush=True)
 
     for s in seqs:
