@@ -174,7 +174,7 @@ def bench_paged(config, lanes=8, prompt_len=64, new_tokens=128):
         model, params, num_lanes=lanes, num_pages=112, max_pages_per_seq=12,
         kv_quantized=True,
     )
-    sched = Scheduler(engine, decode_steps=16)
+    sched = Scheduler(engine, decode_steps=8)
     prompt = list(range(1, prompt_len + 1))
 
     log("bench[paged]: warmup/compile (prefill + mixed chunk programs)")

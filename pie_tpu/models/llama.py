@@ -392,12 +392,20 @@ class LlamaModel:
             v.reshape(b, t, hkv, dh),
         )
 
-    def _mlp(self, p, x, layer=None):
+    def _mlp(self, p, x, layer=None, ln_w=None, ln_eps=0.0):
+        """Gated MLP; ln_w folds the pre-MLP norm into the wgu kernel
+        prologue on the decode path (x is then the pre-norm residual)."""
         if "wgu" in p:
-            y = linear(x, p["wgu"], layer=layer)
+            y = linear(x, p["wgu"], layer=layer, ln_w=ln_w, ln_eps=ln_eps)
             di = y.shape[-1] // 2
             g, u = y[..., :di], y[..., di:]
         else:
+            if ln_w is not None:
+                lw = (
+                    _dyn(ln_w, layer)
+                    if layer is not None and ln_w.ndim == 2 else ln_w
+                )
+                x = rms_norm(x, lw, ln_eps)
             g = linear(x, p["wg"], layer=layer)
             u = linear(x, p["wu"], layer=layer)
         return linear(jax.nn.silu(g) * u, p["wd"], layer=layer)
@@ -428,7 +436,8 @@ class LlamaModel:
 
         return fused_mlp_supported(p["wo"], p["wgu"], p["wd"], m)
 
-    def _mlp_block(self, p, h, attn_flat, layer, eps, fused):
+    def _mlp_block(self, p, h, attn_flat, layer, eps, fused,
+                   fused_ln=False):
         """The post-attention stretch of a decoder layer: wo projection +
         residual + ln2 + gated MLP + residual. On the decode path this is
         ONE Pallas launch (fused_mlp_stacked) instead of 3 matmul launches
@@ -446,9 +455,15 @@ class LlamaModel:
             return out.reshape(b, t, dm)
         h = h + linear(attn_flat, p["wo"], layer=layer)
         h = self._constrain(h, "dp", None, None)
-        x = rms_norm(h, _dyn(p["ln2"], layer), eps)
         if "nomlp" not in self._ablate:
-            h = h + self._mlp(p, x, layer=layer)
+            if fused_ln:
+                # ln2 folds into the wgu kernel prologue (same machinery
+                # as the ln1 fold on the QKV projection)
+                h = h + self._mlp(p, h, layer=layer, ln_w=p["ln2"],
+                                  ln_eps=eps)
+            else:
+                x = rms_norm(h, _dyn(p["ln2"], layer), eps)
+                h = h + self._mlp(p, x, layer=layer)
             h = self._constrain(h, "dp", None, None)
         return h
 
@@ -569,7 +584,8 @@ class LlamaModel:
 
             if "nocache" in _abl:
                 h = self._mlp_block(
-                    p, h, q.reshape(b, t, hq * dh), i, eps, use_fused_mlp
+                    p, h, q.reshape(b, t, hq * dh), i, eps, use_fused_mlp,
+                    fused_ln=fused_ln,
                 )
                 if quantized:
                     return (h, ckq_all, cks_all, cvq_all, cvs_all), None
@@ -631,7 +647,8 @@ class LlamaModel:
                 attn = sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale)
             attn = self._constrain(attn, "dp", None, "tp", None)
             h = self._mlp_block(
-                p, h, attn.reshape(b, t, hq * dh), i, eps, use_fused_mlp
+                p, h, attn.reshape(b, t, hq * dh), i, eps, use_fused_mlp,
+                fused_ln=fused_ln,
             )
             if quantized:
                 return (h, ckq_all, cks_all, cvq_all, cvs_all), None
