@@ -110,3 +110,29 @@ def test_frontier_routes_and_fails_over(engine):
         return True
 
     assert asyncio.run(go())
+
+
+def test_frontier_relays_sse_stream(engine):
+    """Streaming chat completions proxy through the front tier chunk by
+    chunk (SSE relay)."""
+
+    async def go():
+        engine_app = create_app(engine=engine)
+        engine_server = TestServer(engine_app)
+        await engine_server.start_server()
+        live = f"http://{engine_server.host}:{engine_server.port}"
+        frontier = create_frontier([live])
+        async with TestClient(
+            TestServer(frontier), timeout=aiohttp.ClientTimeout(total=590)
+        ) as client:
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={**CHAT_BODY, "stream": True},
+            )
+            assert resp.status == 200, await resp.text()
+            body = (await resp.read()).decode()
+            assert "data: " in body and "[DONE]" in body
+        await engine_server.close()
+        return True
+
+    assert asyncio.run(go())
