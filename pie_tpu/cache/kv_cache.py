@@ -68,6 +68,32 @@ class KVCache:
     def capacity(self) -> int:
         return self.k.shape[2]
 
+    def trim_capacity(self, bucket: int) -> "KVCache":
+        """Capacity-bucketed VIEW for short-context decode: attention over
+        a [.., :bucket] slice instead of the full buffer (a 1024-capacity
+        bf16 8B cache costs ~134 MB of reads per decoded token; at ctx 192
+        a 256 bucket reads a quarter of that). Caller guarantees every
+        position this view serves is < bucket; merge back with
+        merge_trimmed."""
+        return dataclasses.replace(
+            self,
+            k=self.k[:, :, :bucket],
+            v=self.v[:, :, :bucket],
+            slot_positions=self.slot_positions[:, :bucket],
+        )
+
+    def merge_trimmed(self, t: "KVCache") -> "KVCache":
+        b = t.capacity
+        return dataclasses.replace(
+            self,
+            k=self.k.at[:, :, :b].set(t.k),
+            v=self.v.at[:, :, :b].set(t.v),
+            slot_positions=self.slot_positions.at[:, :b].set(
+                t.slot_positions
+            ),
+            length=t.length,
+        )
+
     def write_slot(self, positions: jax.Array) -> jax.Array:
         """Slot index for a global position (identity, or modulo when
         rotating)."""
@@ -148,6 +174,31 @@ class QuantizedKVCache:
     slot_positions: jax.Array
     length: jax.Array
     window: Optional[int] = None
+
+    def trim_capacity(self, bucket: int) -> "QuantizedKVCache":
+        """See KVCache.trim_capacity."""
+        return dataclasses.replace(
+            self,
+            k_q=self.k_q[:, :, :bucket],
+            k_scale=self.k_scale[:, :, :bucket],
+            v_q=self.v_q[:, :, :bucket],
+            v_scale=self.v_scale[:, :, :bucket],
+            slot_positions=self.slot_positions[:, :bucket],
+        )
+
+    def merge_trimmed(self, t: "QuantizedKVCache") -> "QuantizedKVCache":
+        b = t.capacity
+        return dataclasses.replace(
+            self,
+            k_q=self.k_q.at[:, :, :b].set(t.k_q),
+            k_scale=self.k_scale.at[:, :, :b].set(t.k_scale),
+            v_q=self.v_q.at[:, :, :b].set(t.v_q),
+            v_scale=self.v_scale.at[:, :, :b].set(t.v_scale),
+            slot_positions=self.slot_positions.at[:, :b].set(
+                t.slot_positions
+            ),
+            length=t.length,
+        )
 
     @classmethod
     def create(

@@ -127,7 +127,9 @@ class EngineCore:
         self._decode = jax.jit(
             self._decode_impl,
             donate_argnames=("state",),
-            static_argnames=("num_steps", "return_logprobs", "sampler_kind"),
+            static_argnames=(
+                "num_steps", "return_logprobs", "sampler_kind", "kv_bucket",
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -263,8 +265,28 @@ class EngineCore:
         num_steps: int = 8,
         return_logprobs: bool = False,
         sampler_kind: str = "auto",
+        kv_bucket: int = 0,
     ):
-        """Scan ``num_steps`` decode steps; done lanes emit PAD and freeze."""
+        """Scan ``num_steps`` decode steps; done lanes emit PAD and freeze.
+
+        kv_bucket: capacity-bucketed attention — the chunk runs on a
+        [.., :kv_bucket] cache view (every position this chunk touches
+        must be < kv_bucket; the engine rounds current length + steps up
+        to a power-of-two bucket), then merges back into the full buffer.
+        Short-context decode stops paying the full max_seq_len cache read
+        per token."""
+        full_cache = None
+        cache0 = state.cache
+        if (
+            kv_bucket
+            and hasattr(cache0, "trim_capacity")
+            and getattr(cache0, "window", None) is None
+            and kv_bucket < cache0.capacity
+        ):
+            full_cache = cache0
+            state = dataclasses.replace(
+                state, cache=cache0.trim_capacity(kv_bucket)
+            )
 
         def step(state, _):
             active = ~state.done
@@ -314,4 +336,8 @@ class EngineCore:
             return new_state, out
 
         state, outs = jax.lax.scan(step, state, None, length=num_steps)
+        if full_cache is not None:
+            state = dataclasses.replace(
+                state, cache=full_cache.merge_trimmed(state.cache)
+            )
         return state, outs

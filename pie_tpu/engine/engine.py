@@ -493,6 +493,14 @@ class InferenceEngine:
             depend on pipeline_chunks or where the stop token landed."""
             nonlocal state, planned
             steps = _decode_steps(self.decode_chunk, max_tokens - planned)
+            # capacity-bucketed attention: this chunk touches positions
+            # < plen + planned + steps; round up to a power-of-two bucket
+            # so short contexts stop reading the full max_seq_len cache
+            need = plen + planned + steps
+            kvb = 256
+            while kvb < need:
+                kvb *= 2
+            kvb = min(kvb, self.core.max_seq_len)
             state, outs = self.core._decode(
                 self.params,
                 state,
@@ -504,6 +512,7 @@ class InferenceEngine:
                 num_steps=steps,
                 return_logprobs=logprobs,
                 sampler_kind=skind,
+                kv_bucket=kvb,
             )
             planned += steps
             pending.append(outs)

@@ -276,6 +276,13 @@ def quant_matmul_pallas(
         bn = DECODE_BN if decode else DEFAULT_BN
     if bk is None:
         bk = DECODE_BK if decode else DEFAULT_BK
+        if decode and n <= 4096 and qt.padded_k <= 4096:
+            # small square shapes (wo 4096x4096): shorter K tiles stream
+            # better (sweep_tiles: 13.1 us @ bk=1024 vs 13.6 @ 2048; the
+            # round-4 trace reads wo at 590 GB/s vs 727+ for the big
+            # shapes — fixed per-block cost amortizes worse on a 9 MB
+            # stream)
+            bk = 1024
     assert bk % PACK_TILE_K == 0
 
     bm = min(bm, _round_up(m, 8))
@@ -414,6 +421,8 @@ def quant_matmul_stacked(
         bn = DECODE_BN if decode else DEFAULT_BN
     if bk is None:
         bk = DECODE_BK if decode else DEFAULT_BK
+        if decode and n <= 4096 and kpad <= 4096:
+            bk = 1024  # small square shapes: see quant_matmul_pallas note
     assert bk % PACK_TILE_K == 0
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, _round_up(n, 128))

@@ -151,3 +151,34 @@ def test_repetition_penalty_breaks_forced_loop(setup):
     # first pick is still 99 (not yet in history); later picks diverge
     assert pen.token_ids[0] == 99
     assert pen.token_ids != [99] * 6
+
+
+def test_kv_capacity_bucketing_crosses_boundary():
+    """Capacity-bucketed decode (EngineCore kv_bucket): a generation that
+    crosses the 256-slot bucket mid-stream must match an engine whose
+    capacity makes bucketing a no-op — the trimmed-view chunks merge back
+    into the full buffer exactly."""
+    config = LlamaConfig.from_dict(
+        dict(TINY, model_type="llama", max_position_embeddings=2048)
+    )
+    model = LlamaModel(config)
+    import jax
+
+    params = model.init_params(jax.random.PRNGKey(5), dtype=jnp.float32)
+    big = InferenceEngine(
+        model=model, params=params, max_seq_len=1024,
+        kv_dtype=jnp.float32, decode_chunk=16, prompt_cache=False,
+    )
+    small = InferenceEngine(
+        model=model, params=params, max_seq_len=320,
+        kv_dtype=jnp.float32, decode_chunk=16, prompt_cache=False,
+    )
+    prompt = [5, 9, 2, 7, 11, 3, 8, 4, 6, 10]
+    want = small.generate(
+        prompt, max_completion_tokens=280, temperature=0.0
+    ).token_ids
+    got = big.generate(
+        prompt, max_completion_tokens=280, temperature=0.0
+    ).token_ids
+    assert len(got) == 280
+    assert got == want, (got[:40], want[:40])
