@@ -26,6 +26,12 @@ SHAPES = {  # llama-3-8b decode shapes
     "wgu": (4096, 28672),
     "wd": (14336, 4096),
     "lm_head": (4096, 128256),
+    # llama-3.2-1b decode shapes
+    "wqkv1b": (2048, 3072),
+    "wo1b": (2048, 2048),
+    "wgu1b": (2048, 16384),
+    "wd1b": (8192, 2048),
+    "lm_head1b": (2048, 128256),
 }
 
 

@@ -49,13 +49,21 @@ from pie_tpu.ops.quant import PACK_TILE_K, QuantizedTensor
 DEFAULT_BM = 256
 DEFAULT_BN = 512
 DEFAULT_BK = 512
-# Decode (small M): bn=2048 / bk=2048 wins on every Llama-3-8B decode shape
-# (differential-timed sweep on v5e, benchmarks/sweep_tiles.py: wqkv 719,
-# wo 773, wgu 721, wd 727, lm_head 749 GB/s; bk=4096 loses 15-25% on the
-# K=4096 shapes — the earlier 850-980 GB/s reading for bk=4096 was an
-# artifact of single-ended timing over the ~20 ms axon fetch round-trip).
+# Decode (small M): bn=2048 / bk=2048 is the general-purpose optimum
+# (differential-timed sweeps on v5e, benchmarks/sweep_tiles.py). Specific
+# shapes beat it with exact few-tile splits — the round-4 sweep reads
+# wqkv (4096x6144) at 807 GB/s (98.5% of HBM peak) with bn=3072 (two
+# exact j-tiles) vs 571-688 at other tiles; wo/wgu/wd stay at the
+# default. Per-shape overrides keyed by (padded_k, n):
 DECODE_BN = 2048
 DECODE_BK = 2048
+# Round-4 lesson: isolated differential sweeps rated wqkv at 807 GB/s
+# with bn=3072 (vs 571-688 otherwise), but IN-MODEL the per-shape tiles
+# measured neutral-to-slightly-worse (6.755 vs 6.685 ms/tok paired) —
+# back-to-back scan timing lets consecutive calls overlap in ways the
+# real decode program (kernels interleaved with attention/cache ops)
+# does not. Keep the table empty until an in-model paired win exists.
+DECODE_TILES: dict = {}
 # scoped-VMEM budget for tile selection: 16 MB hardware limit less slack
 # for Mosaic's own scratch
 VMEM_BUDGET = 12 * 1024 * 1024
@@ -270,19 +278,15 @@ def quant_matmul_pallas(
     g = qt.group_size
 
     decode = m <= 32
+    auto_tiles = bn is None and bk is None
     if bm is None:
         bm = DEFAULT_BM
     if bn is None:
         bn = DECODE_BN if decode else DEFAULT_BN
     if bk is None:
         bk = DECODE_BK if decode else DEFAULT_BK
-        if decode and n <= 4096 and qt.padded_k <= 4096:
-            # small square shapes (wo 4096x4096): shorter K tiles stream
-            # better (sweep_tiles: 13.1 us @ bk=1024 vs 13.6 @ 2048; the
-            # round-4 trace reads wo at 590 GB/s vs 727+ for the big
-            # shapes — fixed per-block cost amortizes worse on a 9 MB
-            # stream)
-            bk = 1024
+    if decode and auto_tiles and (qt.padded_k, n) in DECODE_TILES:
+        bn, bk = DECODE_TILES[(qt.padded_k, n)]
     assert bk % PACK_TILE_K == 0
 
     bm = min(bm, _round_up(m, 8))
@@ -415,14 +419,15 @@ def quant_matmul_stacked(
     g = qt.group_size
 
     decode = m <= 32
+    auto_tiles = bn is None and bk is None
     if bm is None:
         bm = DEFAULT_BM
     if bn is None:
         bn = DECODE_BN if decode else DEFAULT_BN
     if bk is None:
         bk = DECODE_BK if decode else DEFAULT_BK
-        if decode and n <= 4096 and kpad <= 4096:
-            bk = 1024  # small square shapes: see quant_matmul_pallas note
+    if decode and auto_tiles and (kpad, n) in DECODE_TILES:
+        bn, bk = DECODE_TILES[(kpad, n)]
     assert bk % PACK_TILE_K == 0
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, _round_up(n, 128))
