@@ -410,19 +410,25 @@ class LlamaModel:
             u = linear(x, p["wu"], layer=layer)
         return linear(jax.nn.silu(g) * u, p["wd"], layer=layer)
 
-    #: opt-in for the one-launch decode MLP-block kernel: in isolation it
-    #: matches the 3-launch sequence (156.6 vs 155.6 us/layer, bench_op on
-    #: v5e), but inside the full decode program it reads 0.5-0.9 ms/token
-    #: SLOWER in every paired A/B this round — XLA schedules the 3-launch
-    #: form better around the attention/cache ops. Kernel + tests stay;
-    #: flip this on only with a measured e2e win.
-    use_fused_mlp_kernel = False
+    #: one-launch decode MLP-block kernel policy. None = auto by geometry:
+    #: SMALL models (hidden <= 2048, 1B-class) win — their 2-9 MB weight
+    #: streams are dominated by per-kernel pipeline fill, which the fusion
+    #: amortizes (paired A/B: 1.482 -> 1.413 ms/tok on 1B). LARGE models
+    #: (8B) LOSE 0.5-0.9 ms/tok — the monolithic kernel schedules worse
+    #: around the attention/cache ops than three separate launches, which
+    #: XLA's async dispatch already pipelines. True/False force it.
+    use_fused_mlp_kernel: Optional[bool] = None
 
     def _fused_mlp_ok(self, p, m: int) -> bool:
         """Static gate for the one-launch decode MLP-block kernel
         (ops/fused_mlp_pallas): decode-sized batch, quantized fused
         weights, single chip, no conflicting ablations."""
-        if not self.use_fused_mlp_kernel:
+        if self.use_fused_mlp_kernel is False:
+            return False
+        if (
+            self.use_fused_mlp_kernel is None
+            and self.config.hidden_size > 2048
+        ):
             return False
         if self._ablate & {"nomlp", "nofusedmlp"} or self.mesh is not None:
             return False
