@@ -62,7 +62,19 @@ def main():
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument(
+        "--tiles", default="",
+        help="decode tile overrides: k,n,bn,bk[;k,n,bn,bk...] — in-model "
+             "per-kernel A/B via the trace rows",
+    )
     args = ap.parse_args()
+    if args.tiles:
+        import pie_tpu.ops.quant_matmul_pallas as qmp
+
+        for spec in args.tiles.split(";"):
+            k, n, bn, bk = map(int, spec.split(","))
+            qmp.DECODE_TILES[(k, n)] = (bn, bk)
+        print("tile overrides:", qmp.DECODE_TILES, flush=True)
 
     from pie_tpu.models.llama import LlamaConfig, LlamaModel
 

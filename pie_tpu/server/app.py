@@ -82,8 +82,16 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         req = S.ChatCompletionRequest.model_validate(await request.json())
     except Exception as e:
         return _err(422, f"invalid request: {e}")
-    if req.n != 1:
-        req.n = 1  # degraded like reference completions n>1 handling
+    from pie_tpu.engine.async_engine import BatchedInferenceEngine
+
+    n_choices = max(1, req.n or 1)
+    if n_choices > 1 and (
+        req.stream or not isinstance(engine, BatchedInferenceEngine)
+    ):
+        # single-stream engine / streaming: degraded like the reference
+        # (reference completions.py:47-53); the batching engine serves
+        # real n>1 by decoding the choices as concurrent lanes
+        n_choices = 1
     kw = _gen_kwargs(req)
     max_tokens = req.max_completion_tokens or req.max_tokens or 1024
     tools = [t.model_dump() for t in req.tools] if req.tools else None
@@ -109,9 +117,10 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         from pie_tpu.utils.metrics import Timer, get_metrics
 
         timer = Timer()
-        try:
-            inter = await _run_blocking(
-                app, engine.chat, interactions, tools=tools,
+
+        def one_chat():
+            return engine.chat(
+                interactions, tools=tools,
                 response_format=response_format,
                 tool_choice=tool_choice or "auto",
                 parallel_tool_calls=bool(req.parallel_tool_calls),
@@ -119,13 +128,34 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
                 logprobs=bool(req.logprobs),
                 reasoning=bool(req.reasoning), **kw,
             )
+
+        try:
+            if n_choices == 1:
+                inters = [await _run_blocking(app, one_chat)]
+            else:
+                # n>1: the batching engine decodes the choices as
+                # CONCURRENT lanes of one continuous batch
+                inters = list(await asyncio.gather(*[
+                    _run_blocking(app, one_chat) for _ in range(n_choices)
+                ]))
         except (InferenceError, ValueError) as e:
             get_metrics().record_request(0, 0, None, timer.elapsed, error=True)
             return _err(400, str(e))
-        get_metrics().record_request(
-            inter.prompt_tokens, inter.completion_tokens, None, timer.elapsed
-        )
-        return web.json_response(_chat_response(engine, req, inter).model_dump(exclude_none=True))
+        pt = inters[0].prompt_tokens
+        ct = sum(i.completion_tokens for i in inters)
+        get_metrics().record_request(pt, ct, None, timer.elapsed)
+        resp = _chat_response(engine, req, inters[0])
+        for idx, inter in enumerate(inters[1:], start=1):
+            extra = _chat_response(engine, req, inter)
+            choice = extra.choices[0]
+            choice.index = idx
+            resp.choices.append(choice)
+        if len(inters) > 1:
+            resp.usage = S.Usage(
+                prompt_tokens=pt, completion_tokens=ct,
+                total_tokens=pt + ct,
+            )
+        return web.json_response(resp.model_dump(exclude_none=True))
 
     # -- SSE streaming (reference chat.py:160-249) --
     resp = web.StreamResponse(

@@ -210,3 +210,50 @@ def test_completions_streaming_501(engine_fixture):
         return resp.status
 
     assert _call(engine_fixture, go) == 501
+
+
+def test_chat_n_choices_on_batching_engine():
+    """n>1 chat choices decode as concurrent lanes of the batching engine
+    (the reference degrades n>1 to one choice; the single-stream engine
+    here still does)."""
+    import dataclasses
+
+    import jax
+
+    from pie_tpu.engine.async_engine import BatchedInferenceEngine
+
+    config = LlamaConfig.from_dict(dict(TINY, model_type="llama"))
+    model = LlamaModel(config)
+    params = model.init_params(jax.random.PRNGKey(2), dtype=jnp.float32)
+    engine = BatchedInferenceEngine(
+        model=model, params=params, tokenizer=_tiny_tokenizer(),
+        num_lanes=4, num_pages=32, max_pages_per_seq=8, prefill_chunk=16,
+    )
+    engine.core.pool = dataclasses.replace(
+        engine.core.pool,
+        k=engine.core.pool.k.astype(jnp.float32),
+        v=engine.core.pool.v.astype(jnp.float32),
+    )
+    try:
+        async def go(client):
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "tiny",
+                    "messages": [{"role": "user", "content": "hello"}],
+                    "max_completion_tokens": 5,
+                    "temperature": 0.9,
+                    "n": 3,
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            return await resp.json()
+
+        data = _call(engine, go)
+        assert len(data["choices"]) == 3
+        assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+        assert data["usage"]["completion_tokens"] == sum(
+            min(5, 5) for _ in range(3)
+        ) or data["usage"]["completion_tokens"] > 0
+    finally:
+        engine.shutdown()
