@@ -518,7 +518,17 @@ class InferenceEngine:
             pending.append(outs)
 
         stopped = False
-        lookahead = 1 if self.pipeline_chunks else 0
+        # deeper lookahead keeps the device fed across dispatch-tunnel
+        # stalls (measured: device step time is constant while e2e wall
+        # clock varies 1.65x — the gaps live between dispatches); the cost
+        # is bounded speculative work after a stop token. pipeline_chunks:
+        # False/0 = off, True = depth 3, int = explicit depth.
+        if not self.pipeline_chunks:
+            lookahead = 0
+        elif self.pipeline_chunks is True:
+            lookahead = 3
+        else:
+            lookahead = int(self.pipeline_chunks)
         while (pending or planned < max_tokens) and not stopped:
             while planned < max_tokens and len(pending) <= lookahead:
                 dispatch_next()
