@@ -18,14 +18,14 @@ from pie_tpu.ops.quant_matmul_pallas import quant_matmul_stacked
 EPS = 1e-5
 
 
-def _weights(d, di, bits=4, L=2):
+def _weights(d, di, bits=4, L=2, m=1):
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
-    q = lambda w: jax.vmap(lambda m: quantize(m, 64, bits))(w)
+    q = lambda w: jax.vmap(lambda mm: quantize(mm, 64, bits))(w)
     wo = q(jax.random.normal(ks[0], (L, d, d), jnp.float32) * 0.02)
     wgu = q(jax.random.normal(ks[1], (L, d, 2 * di), jnp.float32) * 0.02)
     wd = q(jax.random.normal(ks[2], (L, di, d), jnp.float32) * 0.02)
-    attn = jax.random.normal(ks[3], (1, d), jnp.bfloat16)
-    h = jax.random.normal(ks[4], (1, d), jnp.bfloat16)
+    attn = jax.random.normal(ks[3], (m, d), jnp.bfloat16)
+    h = jax.random.normal(ks[4], (m, d), jnp.bfloat16)
     w2 = jnp.abs(jax.random.normal(ks[5], (d,), jnp.float32)).astype(
         jnp.bfloat16
     )
@@ -49,10 +49,13 @@ def _reference(attn, h, w2, li, wo, wgu, wd, di):
 
 
 @pytest.mark.parametrize("bits", [4, 8])
-def test_fused_mlp_matches_unfused(bits):
+@pytest.mark.parametrize("m", [1, 8])
+def test_fused_mlp_matches_unfused(bits, m):
+    """m=8 mirrors the batched scheduler's decode lanes (the auto gate
+    enables the fused kernel for small models on the paged path too)."""
     d, di = 2048, 4096
-    wo, wgu, wd, attn, h, w2 = _weights(d, di, bits=bits)
-    assert fused_mlp_supported(wo, wgu, wd, 1)
+    wo, wgu, wd, attn, h, w2 = _weights(d, di, bits=bits, m=m)
+    assert fused_mlp_supported(wo, wgu, wd, m)
     for li in (jnp.int32(0), jnp.int32(1)):
         ref = _reference(attn, h, w2, li, wo, wgu, wd, di)
         out = fused_mlp_stacked(
