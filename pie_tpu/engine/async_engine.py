@@ -71,6 +71,9 @@ class BatchedInferenceEngine:
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        from pie_tpu.vision.utils import make_image_processor
+
+        self.image_processor = make_image_processor(model)
         import jax.numpy as jnp
 
         self.core = PagedEngine(

@@ -109,14 +109,9 @@ class InferenceEngine:
         # VLM support: an image preprocessor when the model has a vision
         # tower (charter config #4; reference vision/utils.py:45-94 feeding
         # models/gemma/ensemble.py image scatter)
-        self.image_processor = None
-        if getattr(model, "vision", None) is not None:
-            from pie_tpu.vision.utils import SiglipImageProcessor
+        from pie_tpu.vision.utils import make_image_processor
 
-            vcfg = getattr(model.config, "vision", None) or {}
-            self.image_processor = SiglipImageProcessor(
-                image_size=int(vcfg.get("image_size", 224))
-            )
+        self.image_processor = make_image_processor(model)
         self._embed_images_fn = None
         self.core = EngineCore(
             model,
@@ -886,21 +881,30 @@ def _chat_run(
             image_sources.extend(it.images)
     pixel_values = None
     image_token_id = None
+    image_kwargs: dict = {}
+    tokens_per_image = 0
     if image_sources:
-        if engine.image_processor is None:
+        proc = getattr(engine, "image_processor", None)
+        if proc is None:
             raise InferenceError("model does not accept image input")
         cfg = engine.model.config
         image_token_id = getattr(cfg, "image_token_id", None)
         if image_token_id is None:
             raise InferenceError("model config has no image_token_id")
-        pixel_values = engine.image_processor.batch(image_sources)
+        if getattr(proc, "returns_grid", False):
+            # qwen2-vl: patchified pixels + grid_thw threaded through to
+            # the vision tower; placeholder count = merged tokens/image
+            pixel_values, grid_thw = proc.batch(image_sources)
+            image_kwargs = {"grid_thw": grid_thw}
+            tokens_per_image = proc.tokens_per_image
+        else:
+            pixel_values = proc.batch(image_sources)
+            tokens_per_image = getattr(cfg, "mm_tokens_per_image", 0)
 
     prompt_ids = tok.apply_chat_template(
         interactions, add_generation_prompt=True, tools=tools,
         image_token_id=image_token_id,
-        tokens_per_image=getattr(
-            engine.model.config, "mm_tokens_per_image", 0
-        ),
+        tokens_per_image=tokens_per_image,
     )
 
     # structured generation: constrained decoding when the request pins the
@@ -963,6 +967,7 @@ def _chat_run(
         stop_token_ids=tok.stop_tokens,
         logprobs=logprobs,
         pixel_values=pixel_values,
+        **({"image_kwargs": image_kwargs} if image_kwargs else {}),
         **sampling_kwargs,
     )
     result = None

@@ -91,3 +91,73 @@ class BaseImageProcessor:
 
 class SiglipImageProcessor(BaseImageProcessor):
     """Gemma-3 / SigLIP defaults."""
+
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass
+class Qwen2VLImageProcessor:
+    """Host-side Qwen2-VL preprocessing (reference models/intern/ vision
+    input contract): resize to a fixed square whose side divides
+    patch*merge, CLIP-normalize, and patchify into HF's
+    [grid_t*grid_h*grid_w, C*temporal*patch*patch] layout with the 2x2
+    merge-block interleaving the vision tower expects. Returns
+    (pixel_values, grid_thw) — the ``returns_grid`` marker tells the chat
+    layer to thread grid_thw through as image_kwargs."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    merge_size: int = 2
+    temporal_patch_size: int = 2
+    image_mean: tuple = OPENAI_CLIP_MEAN
+    image_std: tuple = OPENAI_CLIP_STD
+
+    returns_grid = True
+
+    @property
+    def tokens_per_image(self) -> int:
+        g = self.image_size // self.patch_size
+        return (g * g) // (self.merge_size**2)
+
+    def _one(self, source) -> np.ndarray:
+        img = load_image(source)
+        arr = process_image(
+            img, self.image_size, self.image_mean, self.image_std
+        )  # [3, H, W]
+        c, h, w = arr.shape
+        p, m, t = self.patch_size, self.merge_size, self.temporal_patch_size
+        gh, gw = h // p, w // p
+        # static image: repeated along the temporal patch axis (HF
+        # Qwen2VLImageProcessor semantics)
+        patches = np.broadcast_to(arr[None], (t, c, h, w))
+        patches = patches.reshape(
+            1, t, c, gh // m, m, p, gw // m, m, p
+        )
+        patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        return patches.reshape(gh * gw, c * t * p * p).astype(np.float32)
+
+    def batch(self, sources):
+        pixels = np.concatenate([self._one(s) for s in sources])
+        g = self.image_size // self.patch_size
+        grid = np.asarray([[1, g, g]] * len(sources), np.int64)
+        return pixels, grid
+
+
+def make_image_processor(model):
+    """Model-appropriate host-side image processor, or None for text-only
+    models: Qwen2-VL family (mrope config marker) gets the patchifying
+    processor with grid_thw; SigLIP-style towers (gemma-3) the square
+    resize+normalize one."""
+    if getattr(model, "vision", None) is None:
+        return None
+    cfg = model.config
+    v = getattr(cfg, "vision", None) or {}
+    if hasattr(cfg, "mrope_section"):
+        return Qwen2VLImageProcessor(
+            patch_size=int(v.get("patch_size", 14)),
+            merge_size=int(v.get("spatial_merge_size", 2)),
+            temporal_patch_size=int(v.get("temporal_patch_size", 2)),
+        )
+    return SiglipImageProcessor(image_size=int(v.get("image_size", 224)))

@@ -56,3 +56,39 @@ def test_profiled_allocator_passthrough():
     assert a.num_free() == 3
     a.free(pid)
     assert a.num_free() == 4
+
+
+def test_qwen2vl_image_processor_matches_hf():
+    """Patchify layout must be bit-compatible with HF's
+    Qwen2VLImageProcessor (the vision tower was parity-tested against HF
+    on exactly that layout)."""
+    import numpy as np
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    pytest.importorskip("transformers.models.qwen2_vl")
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from pie_tpu.vision.utils import Qwen2VLImageProcessor
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    )
+    ours = Qwen2VLImageProcessor(image_size=224)
+    pixels, grid = ours.batch([img])
+
+    hf = transformers.models.qwen2_vl.image_processing_qwen2_vl.Qwen2VLImageProcessor(
+        do_resize=True,
+        min_pixels=224 * 224,
+        max_pixels=224 * 224,
+        patch_size=14,
+        merge_size=2,
+        temporal_patch_size=2,
+    )
+    out = hf(images=[img], return_tensors="np")
+    np.testing.assert_array_equal(grid, out["image_grid_thw"])
+    np.testing.assert_allclose(
+        pixels, out["pixel_values"], atol=2e-2, rtol=2e-2
+    )
