@@ -20,6 +20,24 @@ pytest.importorskip("transformers.models.qwen2_vl")
 from pie_tpu.engine import InferenceEngine
 from pie_tpu.engine.async_engine import BatchedInferenceEngine
 from pie_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen2VLModel
+from pie_tpu.tokenizer import Tokenizer
+from pie_tpu.tokenizer.control_tokens import CHATML
+
+
+def _tokenizer():
+    from tokenizers import Tokenizer as RawTok, models, pre_tokenizers
+
+    words = ["hello", "user", "assistant", "system", "what", "is", "<unk>"]
+    specials = CHATML.all_control_tokens
+    vocab = {w: i for i, w in enumerate(specials + words)}
+    raw = RawTok(models.WordLevel(vocab, unk_token="<unk>"))
+    raw.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    raw.add_special_tokens(specials)
+    hf = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=raw, bos_token=None,
+        eos_token="<|im_end|>", unk_token="<unk>",
+    )
+    return Tokenizer(hf, CHATML)
 
 VLM_TINY = dict(
     hidden_size=64,
@@ -60,13 +78,14 @@ def engines():
     cfg = Qwen2VLConfig.from_dict(dict(VLM_TINY, model_type="qwen2_vl"))
     model = Qwen2VLModel(cfg)
     params = model.from_hf_state_dict(sd, dtype=jnp.float32)
+    tok = _tokenizer()
     single = InferenceEngine(
-        model=model, params=params, max_seq_len=64, kv_dtype=jnp.float32,
-        decode_chunk=4, prompt_cache=False,
+        model=model, params=params, tokenizer=tok, max_seq_len=64,
+        kv_dtype=jnp.float32, decode_chunk=4, prompt_cache=False,
     )
     batched = BatchedInferenceEngine(
-        model=model, params=params, num_lanes=4, num_pages=32,
-        max_pages_per_seq=8, prefill_chunk=16,
+        model=model, params=params, tokenizer=tok, num_lanes=4,
+        num_pages=32, max_pages_per_seq=8, prefill_chunk=16,
     )
     batched.core.pool = dataclasses.replace(
         batched.core.pool,
@@ -133,3 +152,33 @@ def test_qwen2vl_image_embeds_rider(engines):
     want = single.generate(prompt, **kw).token_ids
     got = batched.generate(prompt, **kw).token_ids
     assert got == want, (got, want)
+
+
+def test_qwen2vl_chat_with_image(engines):
+    """Full chat path with an image attachment: the Qwen2VL processor
+    patchifies + produces grid_thw, the template expands the placeholder
+    run from the processor's merged-token count, and batched matches
+    single-stream token-for-token."""
+    import numpy as np
+    from PIL import Image
+
+    from pie_tpu.vision.utils import Qwen2VLImageProcessor
+
+    single, batched, model, params = engines
+    # tiny geometry: vision patch 4, merge 2 -> image_size 8 = one merged
+    # token per image
+    proc = Qwen2VLImageProcessor(
+        image_size=8, patch_size=4, merge_size=2, temporal_patch_size=2
+    )
+    assert proc.tokens_per_image == 1
+    single.image_processor = proc
+    batched.image_processor = proc
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(
+        rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    )
+    msg = [{"role": "user", "text": "what is", "images": [img]}]
+    want = single.chat(msg, max_completion_tokens=6, temperature=0.0)
+    got = batched.chat(msg, max_completion_tokens=6, temperature=0.0)
+    assert want.metadata["token_ids"] == got.metadata["token_ids"]
+    assert want.finish_reason in ("stop", "length")
