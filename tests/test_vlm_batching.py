@@ -124,3 +124,15 @@ def test_text_only_gemma3_batched_matches_single(engines):
     want = single.generate(prompt, max_completion_tokens=8, temperature=0.0)
     got = batched.generate(prompt, max_completion_tokens=8, temperature=0.0)
     assert got.token_ids == want.token_ids
+
+
+def test_gemma3_long_prompt_direct_prefill(engines):
+    """A prompt body >32 tokens routes through the scheduler's DIRECT
+    prefill (dedicated paged_forward prefill program with dual
+    full/window masks) instead of rider slices; tokens must match the
+    single-stream dual-cache engine."""
+    single, batched = engines
+    prompt = list(range(1, 41))  # 40 tokens > direct-prefill threshold 32
+    want = single.generate(prompt, max_completion_tokens=8, temperature=0.0)
+    got = batched.generate(prompt, max_completion_tokens=8, temperature=0.0)
+    assert got.token_ids == want.token_ids, (got.token_ids, want.token_ids)
