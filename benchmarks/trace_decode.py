@@ -104,12 +104,17 @@ def main():
         )
         sched = Scheduler(eng, decode_steps=16)
         prompt = list(range(1, 65))
+        # max_new must fit the per-seq page budget (12 pages x 64)
+        budget = 12 * 64 - len(prompt) - 8
         seqs = [
-            sched.add_request(prompt, max_new_tokens=4096, temperature=0.0)
+            sched.add_request(prompt, max_new_tokens=budget, temperature=0.0)
             for _ in range(args.lanes)
         ]
         for _ in range(6):
             sched.step()  # warm + reach steady decode
+        assert all(s.status.value == "decoding" for s in seqs), [
+            s.finish_reason for s in seqs
+        ]
 
         def run_some():
             for _ in range(args.steps // 16):
