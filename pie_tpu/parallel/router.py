@@ -25,6 +25,17 @@ from typing import Any, Callable, Optional
 logger = logging.getLogger(__name__)
 
 
+class DispatchError(RuntimeError):
+    """Raised (or wrapped) by a dispatch transport to signal that the
+    *host* failed — connection refused, socket error, transport down.
+
+    Only this class triggers dead-host failover when a dispatch callable
+    raises synchronously; any other exception is a programming error in
+    the transport and fails just the one request (marking hosts dead on
+    arbitrary exceptions cascaded until no host was left — advisor
+    finding, round 4)."""
+
+
 @dataclass
 class RoutedRequest:
     """One request tracked by the router."""
@@ -37,9 +48,29 @@ class RoutedRequest:
     result: Any = None
     error: Optional[str] = None
     _event: threading.Event = field(default_factory=threading.Event)
+    _done_callbacks: list = field(default_factory=list)
 
     def wait(self, timeout: Optional[float] = None) -> bool:
         return self._event.wait(timeout)
+
+    def add_done_callback(self, cb: Callable[["RoutedRequest"], None]):
+        """Register ``cb(req)`` to run when the request completes or
+        fails. Runs immediately if already done. Callbacks fire on
+        whichever thread finishes the request — use a threadsafe
+        primitive (``loop.call_soon_threadsafe``) to hop into an event
+        loop. Lets async servers await completion without parking an
+        executor thread per request on ``wait`` (advisor finding)."""
+        run_now = False
+        if self.done or self._event.is_set():
+            run_now = True
+        else:
+            self._done_callbacks.append(cb)
+            # re-check: _finish may have raced between the check and append
+            if self._event.is_set() and cb in self._done_callbacks:
+                self._done_callbacks.remove(cb)
+                run_now = True
+        if run_now:
+            cb(self)
 
 
 class RequestRouter:
@@ -105,18 +136,19 @@ class RequestRouter:
             live = [
                 (n, h) for h, n in self._hosts.items() if h not in self._dead
             ]
+            fail_reason = None
             if not live:
-                req.error = "error: no live hosts"
+                fail_reason = "error: no live hosts"
+            elif req.attempts >= self.max_attempts:
+                fail_reason = "error: exceeded max attempts"
+            if fail_reason is not None:
+                req.error = fail_reason
                 req.done = True
                 self._inflight.pop(req.request_id, None)
-                req._event.set()
-                return
-            if req.attempts >= self.max_attempts:
-                req.error = "error: exceeded max attempts"
-                req.done = True
-                self._inflight.pop(req.request_id, None)
-                req._event.set()
-                return
+        if fail_reason is not None:
+            self._signal(req)  # outside the lock: callbacks may re-enter
+            return
+        with self._lock:
             _, host = min(live)
             if req.host is not None and req.host in self._hosts:
                 # leaving a (dead) host: its counter no longer matters but
@@ -127,9 +159,23 @@ class RequestRouter:
             self._hosts[host] += 1
         try:
             self._dispatch(host, req)
-        except Exception as e:  # transport refused: treat as host failure
+        except DispatchError:
+            # the transport says the HOST failed: fail over
             logger.exception("dispatch to %s failed", host)
             self.mark_host_dead(host)
+        except Exception as e:  # transport bug: fail this request only
+            logger.exception("dispatch raised a non-transport error")
+            self.fail(req, f"error: dispatch raised {type(e).__name__}: {e}")
+
+    @staticmethod
+    def _signal(req: RoutedRequest):
+        req._event.set()
+        callbacks, req._done_callbacks = req._done_callbacks, []
+        for cb in callbacks:
+            try:
+                cb(req)
+            except Exception:  # pragma: no cover - callback bug
+                logger.exception("done callback raised")
 
     def _finish(self, req: RoutedRequest):
         with self._lock:
@@ -137,7 +183,7 @@ class RequestRouter:
             if req.host in self._hosts:
                 self._hosts[req.host] = max(0, self._hosts[req.host] - 1)
             req.done = True
-        req._event.set()
+        self._signal(req)
 
     def complete(self, req: RoutedRequest, result: Any):
         req.result = result

@@ -117,27 +117,59 @@ async def handle_chat(request: web.Request) -> web.StreamResponse:
         from pie_tpu.utils.metrics import Timer, get_metrics
 
         timer = Timer()
+        chat_kwargs = dict(
+            tools=tools, response_format=response_format,
+            tool_choice=tool_choice or "auto",
+            parallel_tool_calls=bool(req.parallel_tool_calls),
+            stop=req.stop, max_completion_tokens=max_tokens,
+            logprobs=bool(req.logprobs), reasoning=bool(req.reasoning),
+            **kw,
+        )
 
         def one_chat():
-            return engine.chat(
-                interactions, tools=tools,
-                response_format=response_format,
-                tool_choice=tool_choice or "auto",
-                parallel_tool_calls=bool(req.parallel_tool_calls),
-                stop=req.stop, max_completion_tokens=max_tokens,
-                logprobs=bool(req.logprobs),
-                reasoning=bool(req.reasoning), **kw,
-            )
+            return engine.chat(interactions, **chat_kwargs)
 
         try:
             if n_choices == 1:
                 inters = [await _run_blocking(app, one_chat)]
             else:
                 # n>1: the batching engine decodes the choices as
-                # CONCURRENT lanes of one continuous batch
-                inters = list(await asyncio.gather(*[
-                    _run_blocking(app, one_chat) for _ in range(n_choices)
-                ]))
+                # CONCURRENT lanes of one continuous batch. When one
+                # choice fails, the siblings are cancelled instead of
+                # decoding on as orphaned lanes after the 400 went out
+                # (advisor finding, round 4).
+                import threading
+
+                cancel_evt = threading.Event()
+
+                def one_choice():
+                    gen = engine.chat_stream(interactions, **chat_kwargs)
+                    try:
+                        while True:
+                            if cancel_evt.is_set():
+                                gen.close()  # sets seq.cancelled
+                                raise InferenceError(
+                                    "cancelled: sibling choice failed"
+                                )
+                            next(gen)
+                    except StopIteration as e:
+                        return e.value
+
+                tasks = [
+                    asyncio.ensure_future(_run_blocking(app, one_choice))
+                    for _ in range(n_choices)
+                ]
+                done, pending = await asyncio.wait(
+                    tasks, return_when=asyncio.FIRST_EXCEPTION
+                )
+                first_err = next(
+                    (t.exception() for t in done if t.exception()), None
+                )
+                if first_err is not None:
+                    cancel_evt.set()
+                    await asyncio.gather(*pending, return_exceptions=True)
+                    raise first_err
+                inters = [t.result() for t in tasks]
         except (InferenceError, ValueError) as e:
             get_metrics().record_request(0, 0, None, timer.elapsed, error=True)
             return _err(400, str(e))

@@ -27,12 +27,13 @@ except ImportError:  # pragma: no cover
     aiohttp = None
     web = None
 
-from pie_tpu.parallel.router import RequestRouter, RoutedRequest
+from pie_tpu.parallel.router import DispatchError, RequestRouter, RoutedRequest
 
 logger = logging.getLogger(__name__)
 
 ROUTER_KEY = web.AppKey("pie_router", object) if web else None
 SESSION_KEY = web.AppKey("pie_session", object) if web else None
+LOOP_KEY = web.AppKey("pie_loop", object) if web else None
 
 PROXY_PATHS = (
     "/v1/chat/completions",
@@ -44,17 +45,35 @@ PROXY_PATHS = (
 class _HttpDispatch:
     """RequestRouter transport: forwards the request body to the chosen
     engine host over HTTP and completes/fails the routed request with the
-    upstream response. Streaming responses are relayed chunk-by-chunk."""
+    upstream response. Streaming responses are relayed chunk-by-chunk.
 
-    def __init__(self, session_factory):
+    The dispatch callable may be invoked from a non-loop thread (the
+    Heartbeat death callback re-queues orphans from its monitor thread),
+    so the aiohttp app's event loop is captured at startup and all HTTP
+    work hops onto it via ``run_coroutine_threadsafe``. Calling
+    ``asyncio.get_running_loop()`` here used to raise off-loop and the
+    router treated it as a host failure, cascading dead-marks across the
+    fleet (advisor finding, round 4)."""
+
+    def __init__(self, session_factory, loop_factory):
         self._session_factory = session_factory
+        self._loop_factory = loop_factory
         self.router: Optional[RequestRouter] = None
 
     def __call__(self, host: str, req: RoutedRequest):
         payload = req.payload  # (path, body_bytes, headers, response_sink)
-        asyncio.get_running_loop().create_task(
-            self._run(host, req, payload)
-        )
+        loop = self._loop_factory()
+        if loop is None:  # startup not finished: genuinely can't transport
+            raise DispatchError("frontier event loop not running")
+        coro = self._run(host, req, payload)
+        try:
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if running is loop:
+            loop.create_task(coro)
+        else:  # heartbeat / router thread
+            asyncio.run_coroutine_threadsafe(coro, loop)
 
     async def _run(self, host, req, payload):
         path, body, headers, sink = payload
@@ -66,11 +85,37 @@ class _HttpDispatch:
                     "Content-Type", "application/json"
                 )},
             )
-        except (aiohttp.ClientError, OSError) as e:
+        except (aiohttp.ClientError, OSError, asyncio.TimeoutError) as e:
+            # includes the session-total timeout: without this the routed
+            # request was never completed OR failed over and the client
+            # waited out the proxy timeout for a 503 (advisor finding)
             logger.warning("host %s unreachable: %s", host, e)
             self.router.mark_host_dead(host)
             return
+        except Exception as e:  # pragma: no cover - transport bug
+            logger.exception("dispatch to %s raised", host)
+            self.router.fail(req, f"error: {type(e).__name__}: {e}")
+            return
         self.router.complete(req, resp)
+
+
+async def _wait_routed(routed: RoutedRequest, timeout: float) -> bool:
+    """Await request completion without parking an executor thread.
+
+    ``run_in_executor(None, routed.wait, 600)`` blocked a default-pool
+    thread per in-flight request — ~32 concurrent requests saturated the
+    pool and stalled everything else on it (advisor finding). A done
+    callback hops completion onto this loop instead."""
+    loop = asyncio.get_running_loop()
+    done = asyncio.Event()
+    routed.add_done_callback(
+        lambda _req: loop.call_soon_threadsafe(done.set)
+    )
+    try:
+        await asyncio.wait_for(done.wait(), timeout)
+        return True
+    except asyncio.TimeoutError:
+        return False
 
 
 async def _proxy(request: "web.Request") -> "web.StreamResponse":
@@ -81,8 +126,7 @@ async def _proxy(request: "web.Request") -> "web.StreamResponse":
         (request.path, body, dict(request.headers), None)
     )
     # wait for an upstream response (failover re-dispatches internally)
-    loop = asyncio.get_event_loop()
-    ok = await loop.run_in_executor(None, routed.wait, 600.0)
+    ok = await _wait_routed(routed, 600.0)
     if not ok or routed.error:
         return web.json_response(
             {"error": {"message": routed.error or "timeout",
@@ -98,10 +142,24 @@ async def _proxy(request: "web.Request") -> "web.StreamResponse":
             )
         },
     )
-    await out.prepare(request)
-    async for chunk in upstream.content.iter_any():
-        await out.write(chunk)
-    await out.write_eof()
+    try:
+        await out.prepare(request)
+        async for chunk in upstream.content.iter_any():
+            await out.write(chunk)
+        await out.write_eof()
+    except (aiohttp.ClientError, OSError, asyncio.TimeoutError) as e:
+        # Known limitation: a host dying MID-STREAM cannot be failed over
+        # — bytes already reached the client, so re-dispatching would
+        # replay the stream from the start. We close the client
+        # connection so the client sees a truncated stream and retries,
+        # and mark the host for the heartbeat to confirm.
+        logger.warning("upstream stream broke mid-relay: %s", e)
+        router.mark_host_dead(routed.host)
+        raise
+    finally:
+        # release the pooled connection even when the client disconnects
+        # mid-stream (leaked connections exhausted the pool — advisor)
+        upstream.release()
     return out
 
 
@@ -117,7 +175,10 @@ def create_frontier(hosts: list[str]) -> "web.Application":
     if web is None:  # pragma: no cover
         raise RuntimeError("aiohttp is required for the frontier tier")
     app = web.Application()
-    dispatch = _HttpDispatch(lambda: app[SESSION_KEY])
+    app[LOOP_KEY] = None
+    dispatch = _HttpDispatch(
+        lambda: app[SESSION_KEY], lambda: app[LOOP_KEY]
+    )
     router = RequestRouter(dispatch)
     dispatch.router = router
     for h in hosts:
@@ -125,6 +186,7 @@ def create_frontier(hosts: list[str]) -> "web.Application":
     app[ROUTER_KEY] = router
 
     async def _init(app):
+        app[LOOP_KEY] = asyncio.get_running_loop()
         app[SESSION_KEY] = aiohttp.ClientSession(
             timeout=aiohttp.ClientTimeout(total=600)
         )

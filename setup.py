@@ -19,15 +19,24 @@ log = logging.getLogger(__name__)
 
 class BuildWithNative(build_py):
     def run(self):
-        self._build_native()
+        built = self._build_native()
         super().run()
+        # Ship the shared library inside the wheel: the loader probes
+        # pie_tpu/runtime/libpie_runtime.so before trying a source-tree
+        # build (runtime/allocator.py:24-26). Without this copy a
+        # non-editable install silently fell back to the Python
+        # implementations (advisor finding, round 4).
+        if built is not None and built.exists():
+            dest = Path(self.build_lib) / "pie_tpu" / "runtime"
+            dest.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(built, dest / built.name)
 
-    def _build_native(self):
+    def _build_native(self) -> Path | None:
         root = Path(__file__).parent
         native = root / "native"
         if not native.exists() or shutil.which("cmake") is None:
             log.warning("cmake or native/ missing; skipping native build")
-            return
+            return None
         build = native / "build"
         gen = ["-G", "Ninja"] if shutil.which("ninja") else []
         try:
@@ -43,6 +52,8 @@ class BuildWithNative(build_py):
             )
         except subprocess.CalledProcessError as e:  # pragma: no cover
             log.warning("native build failed (%s); python fallbacks apply", e)
+            return None
+        return build / "libpie_runtime.so"
 
 
 setup(cmdclass={"build_py": BuildWithNative})
