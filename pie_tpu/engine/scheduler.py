@@ -308,8 +308,14 @@ class PagedEngine:
             if use_bias:
                 logits = apply_logit_bias(logits, bias_ids, bias_vals)
             if use_mask:
+                # a constraint mask is valid for exactly ONE choice point:
+                # the lane's first sampled token this chunk (cnt == 0).
+                # Later steps sample UNMASKED and the host accepts the
+                # longest machine-valid prefix (speculative constrained
+                # decoding; see Scheduler._drain_constrained_lane)
+                first_tok = mask_valid & (cnt == 0)
                 logits = jnp.where(
-                    mask_valid[:, None] & ~allowed_mask, -1e30, logits
+                    first_tok[:, None] & ~allowed_mask, -1e30, logits
                 )
             key, sub = jax.random.split(key)
             tok = sample(logits, sampling, sub, kind=sampler_kind)
@@ -439,11 +445,20 @@ class Scheduler:
         dispatch ONE device program for ``decode_steps`` mixed steps ->
         drain. Returns sequences that finished during the chunk.
 
-        While any constrained (machine-carrying) sequence is live the chunk
-        drops to ONE step: a constraint mask is valid for exactly one choice
-        point, so the host must see each constrained token before building
-        the next mask (reference engine/inference_engine.py:241-271 per-token
-        loop). Forced-token runs still batch through the prefill rider.
+        Constrained (machine-carrying) sequences run SPECULATIVELY inside
+        full-size chunks: the device applies the host-built mask only at a
+        lane's first sampled token (the one choice point it is valid for)
+        and samples the rest of the chunk unmasked; the host then accepts
+        the longest machine-valid prefix and rolls the lane back past the
+        first rejected token (an unmasked sample conditioned on machine
+        acceptance is distributed exactly as a masked sample, so parity
+        with the reference's per-token masked loop —
+        engine/inference_engine.py:241-271 — is preserved). One json_schema
+        request therefore no longer serializes the whole batch into
+        per-token host round trips (round-4 verdict weak #3): free lanes
+        keep decode_steps-deep chunks and the constrained lane itself
+        usually accepts most of its speculated tokens. Forced-token runs
+        still batch through the prefill rider.
 
         While prefill work is pending the chunk is sized to exactly the
         rider slices needed (capped at decode_steps): a mixed step costs a
@@ -490,24 +505,21 @@ class Scheduler:
         self._dev_state = None
         self._admit()
         self._direct_prefill()
-        if any(s.machine is not None for s in self.running.values()):
-            n = 1
-        else:
-            cs = self.engine.rider_width
-            need = 0
-            for s in self.running.values():
-                if s.status == SeqStatus.PREFILLING:
-                    rem = len(s.pending) - 1 - s.prefill_pos
-                    if rem > 0:
-                        need += -(-rem // cs)
-                    else:
-                        need += 1  # wake-only: one step slot
-            # bucket n to powers of two: num_steps is a static jit arg, so
-            # each distinct (n, use_rider) pair compiles a fresh heavy chunk
-            # program — varied prompt lengths would otherwise pay a
-            # multi-second compile per new n (ADVICE r3). Extra steps past
-            # the prefill need run as decode steps for the woken lanes.
-            n = _bucket_chunk(need, self.decode_steps) if need else self.decode_steps
+        cs = self.engine.rider_width
+        need = 0
+        for s in self.running.values():
+            if s.status == SeqStatus.PREFILLING:
+                rem = len(s.pending) - 1 - s.prefill_pos
+                if rem > 0:
+                    need += -(-rem // cs)
+                else:
+                    need += 1  # wake-only: one step slot
+        # bucket n to powers of two: num_steps is a static jit arg, so
+        # each distinct (n, use_rider) pair compiles a fresh heavy chunk
+        # program — varied prompt lengths would otherwise pay a
+        # multi-second compile per new n (ADVICE r3). Extra steps past
+        # the prefill need run as decode steps for the woken lanes.
+        n = _bucket_chunk(need, self.decode_steps) if need else self.decode_steps
         plan = self._plan_chunk(n)
         if plan is None:
             return finished_prev
@@ -872,9 +884,11 @@ class Scheduler:
         from pie_tpu.ops.sampling import sampler_kind_for
 
         b = e.num_lanes
-        # constrained lanes: per-lane token mask + a 1-token chunk budget
-        # (the mask covers exactly one choice point); maskless chunks compile
-        # a separate program that skips the [B, V] mask transfer entirely
+        # constrained lanes: per-lane token mask, valid for the lane's FIRST
+        # sampled token this chunk (the device gates it on cnt == 0); later
+        # steps speculate unmasked and the drain accepts the longest
+        # machine-valid prefix. Maskless chunks compile a separate program
+        # that skips the [B, V] mask transfer entirely.
         mask_lanes = [
             (lane, s) for lane, s in self.running.items()
             if s.machine is not None and s.status == SeqStatus.DECODING
@@ -886,7 +900,6 @@ class Scheduler:
             v = e.model.config.vocab_size
             allowed = np.ones((b, v), bool)
             for lane, seq in mask_lanes:
-                chunk_budget[lane] = 1
                 machine = seq.machine
                 if seq.state_kwargs and hasattr(machine, "active_names"):
                     # per-state sampler switching: the live sub-state's
@@ -991,6 +1004,12 @@ class Scheduler:
             seq = self.running[lane]
             if seq.status != SeqStatus.DECODING:
                 continue
+            if seq.machine is not None:
+                if self._drain_constrained_lane(
+                    lane, seq, emitted, n, bool(mask_valid[lane])
+                ):
+                    finished.append(seq)
+                continue
             for s in range(n):
                 if seq.cancelled:
                     # cancellation (possibly raised by an on_token callback
@@ -1002,12 +1021,7 @@ class Scheduler:
                 tok = int(emitted[s, lane])
                 if tok == PAD_TOKEN:
                     continue
-                if seq.machine is not None:
-                    self._emit_constrained(seq, tok)
-                else:
-                    self._emit(seq, tok)
-                if seq.status == SeqStatus.PREFILLING:
-                    break  # re-armed with a forced-token run; wakes later
+                self._emit(seq, tok)
                 if seq.status != SeqStatus.DECODING:
                     finished.append(seq)
                     break
@@ -1017,46 +1031,145 @@ class Scheduler:
                     finished.append(seq)
         return finished
 
+    def _phase_params(self, seq: Sequence) -> tuple:
+        """Resolve the sampling params the lane's CURRENT machine phase
+        dictates (per-state sampler switching). Used to cut speculation
+        when a phase transition changes the sampling distribution."""
+        kw: dict = {}
+        for state_name in sorted(seq.machine.active_names()):
+            kw.update(seq.state_kwargs.get(state_name, {}))
+        return (
+            kw.get("temperature", seq.temperature),
+            kw.get("top_p", seq.top_p),
+            kw.get("min_p", seq.min_p),
+            kw.get("top_k", seq.top_k),
+        )
+
+    def _drain_constrained_lane(
+        self, lane: int, seq: Sequence, emitted, n: int, first_masked: bool
+    ) -> bool:
+        """Accept the longest machine-valid prefix of a constrained lane's
+        speculated chunk tokens, then resync the lane's device mirrors to
+        host truth (rolling back any rejected tail).
+
+        Only the lane's first token was sampled under a mask; later steps
+        sampled the FULL distribution and are validated here. An unmasked
+        sample *conditioned on machine acceptance* is distributed exactly
+        as a masked sample (rejection sampling over the same support), so
+        accepted tokens match the reference's per-token masked loop
+        (reference engine/inference_engine.py:241-271) token-for-token
+        under greedy and distributionally under stochastic sampling.
+        Speculation is also cut when a phase transition switches the
+        lane's per-state sampling params (the remaining chunk tokens were
+        sampled under the old phase's params). Returns True when the
+        sequence finished."""
+        phase0 = (
+            self._phase_params(seq)
+            if seq.state_kwargs and hasattr(seq.machine, "active_names")
+            else None
+        )
+        first = True
+        for s in range(n):
+            if seq.cancelled:
+                self._finish(seq, "cancelled")
+                return True
+            tok = int(emitted[s, lane])
+            if tok == PAD_TOKEN:
+                continue
+            accepted = self._emit_constrained(
+                seq, tok, masked=first and first_masked
+            )
+            first = False
+            if seq.status == SeqStatus.PREFILLING:
+                # re-armed with a forced-token run; its rider slice and
+                # wake rebuild the mirrors, so no resync needed — but the
+                # remaining speculated tokens are dropped (they were
+                # sampled before the forced run existed)
+                return False
+            if seq.status != SeqStatus.DECODING:
+                return True  # stop / length / complete / error / cancelled
+            if not accepted:
+                break  # speculation rejected: roll back the tail
+            if phase0 is not None and self._phase_params(seq) != phase0:
+                break  # phase switch: tail sampled under stale params
+        if seq.cancelled:
+            self._finish(seq, "cancelled")
+            return True
+        self._resync_lane(lane, seq)
+        return False
+
+    def _resync_lane(self, lane: int, seq: Sequence):
+        """Reset a DECODING lane's device mirrors from host truth after
+        speculative truncation. Invariant (matches ``wake``):
+        context_lens = total tokens - 1 — the newest token is the next
+        decode input, its KV not yet written. KV written beyond the reset
+        point is dead: attention masks by context length and the positions
+        are overwritten when real tokens reach them."""
+        h = self.engine.history_len
+        total = len(seq.prompt_ids) + len(seq.output_ids)
+        self.context_lens[lane] = total - 1
+        self.last_tokens[lane] = (
+            seq.output_ids[-1] if seq.output_ids else seq.prompt_ids[-1]
+        )
+        tail = (seq.prompt_ids + seq.output_ids)[-h:]
+        self.histories[lane] = PAD_TOKEN
+        self.histories[lane, -len(tail):] = tail
+        self.produced[lane] = len(seq.output_ids)
+        self.done[lane] = False
+
     # -- helpers --------------------------------------------------------
     def _sync_table(self, lane: int, seq: Sequence):
         table = self.manager.block_table(seq.seq_id)
         self.block_tables[lane, : len(table)] = table
 
-    def _emit_constrained(self, seq: Sequence, tok: int):
+    def _emit_constrained(
+        self, seq: Sequence, tok: int, masked: bool = True
+    ) -> bool:
         """Advance a constrained lane by one sampled token: validate against
         the character machine, then chase the forced-token fast path — a run
         of machine-determined characters is encoded host-side, emitted with
         NO device sampling, and its KV rides the next chunk's prefill rider
         (the batched analog of InferenceEngine.generate_constrained's
         multi-token extend; reference multi_token_sampling,
-        engine/inference_engine.py:40)."""
+        engine/inference_engine.py:40).
+
+        ``masked``: the token was sampled under a valid constraint mask, so
+        machine rejection is a masker/machine inconsistency -> error finish.
+        Unmasked (speculative) tokens may legitimately be rejected -> the
+        caller truncates. Validation advances a COPY of the machine (a
+        failed multi-char advance may leave the machine partially
+        consumed), committing only on acceptance. Returns acceptance."""
         from pie_tpu.structured.token_masks import ANY_CHAR
 
         machine, masker = seq.machine, seq.masker
         if tok in seq.stop_token_ids:
             self._emit(seq, tok)
-            return
+            return True
         tstr = masker.token_strs[tok] if tok < masker.vocab_size else None
         unconstrained = getattr(machine, "is_unconstrained", lambda: False)()
         if tstr is None and unconstrained:
             # undecodable (partial-UTF8) token during a freeform phase:
             # emit it without advancing the character machine
             self._emit(seq, tok)
-            return
-        if tstr is None or not machine.advance(tstr):
+            return True
+        probe = machine.copy() if tstr is not None else None
+        if tstr is None or not probe.advance(tstr):
+            if not masked:
+                return False  # speculation miss: caller rolls back
             logger.warning(
                 "constrained decoding: token %d (%r) rejected", tok, tstr
             )
             self._finish(
                 seq, "error: constrained decoding produced invalid token"
             )
-            return
+            return False
+        seq.machine = machine = probe
         self._emit(seq, tok)  # handles stop-token / length finishes
         if seq.status != SeqStatus.DECODING:
-            return
+            return True
         if machine.is_complete:
             self._finish(seq, "stop")
-            return
+            return True
 
         forced: list[int] = []
         if hasattr(machine, "allowed_chars"):
@@ -1073,12 +1186,14 @@ class Scheduler:
                 if probe.is_complete:
                     break
             if chars:
-                lane = seq.lane
+                # host truth, not the device mirror: during speculative
+                # drains the mirror still reflects the chunk's end state
+                ctx_true = len(seq.prompt_ids) + len(seq.output_ids) - 1
                 budget = min(
                     seq.max_new_tokens - len(seq.output_ids),
                     # pending tokens must fit the lane's page table
                     self.engine.max_pages_per_seq * PAGE_SIZE
-                    - int(self.context_lens[lane]) - 1,
+                    - ctx_true - 1,
                 )
                 for fid in masker.encode_longest("".join(chars))[
                     : max(0, budget)
@@ -1089,16 +1204,19 @@ class Scheduler:
                     if machine.is_complete:
                         break
         if not forced:
-            return
+            return True
         lane = seq.lane
-        base = int(self.context_lens[lane])
+        # position for the sampled token's KV write = total tokens - 1
+        # BEFORE the forced run is appended (the sampled token is the
+        # newest, its KV unwritten); host truth, not the device mirror
+        base = len(seq.prompt_ids) + len(seq.output_ids) - 1
         for fid in forced:
             self._emit(seq, fid)  # may finish (stop token or length)
             if seq.status != SeqStatus.DECODING:
-                return
+                return True
         if machine.is_complete:
             self._finish(seq, "stop")
-            return
+            return True
         # re-arm the prefill path: [sampled tok, *forced] need KV writes at
         # base..base+len-2; the final forced token becomes the wake input
         seq.pending = [tok] + forced
@@ -1106,6 +1224,7 @@ class Scheduler:
         seq.prefill_pos = 0
         seq.status = SeqStatus.PREFILLING
         self.done[lane] = True  # frozen until its wake step
+        return True
 
     def _emit(self, seq: Sequence, tok: int):
         seq.output_ids.append(tok)
