@@ -167,11 +167,168 @@ class PagedCacheManager:
         for p in self.tables.pop(seq_id, []):
             self.allocator.free(p)
 
+    def allocate_seq_with_prefix(
+        self, seq_id: int, num_tokens: int, shared_pages: list[int]
+    ) -> bool:
+        """allocate_seq, but the first ``len(shared_pages)`` pages come
+        from a prefix-cache hit: they are refcounted (add_ref) instead of
+        freshly allocated, and the new sequence NEVER writes them (full
+        shared pages only — a page boundary split means no copy-on-write
+        is ever needed). On fresh-page exhaustion the refs are rolled
+        back so the caller can evict and retry. Matches the reference's
+        add_ref-for-shared-prefix intent (page_allocator.cpp:89-92)."""
+        total = self.pages_needed(num_tokens)
+        if total > self.max_pages_per_seq:
+            raise ValueError(
+                f"sequence needs {total} pages > max_pages_per_seq "
+                f"{self.max_pages_per_seq}"
+            )
+        fresh_n = total - len(shared_pages)
+        for p in shared_pages:
+            self.allocator.add_ref(p)
+        fresh = self.allocator.allocate_n(fresh_n) if fresh_n > 0 else []
+        if fresh_n > 0 and not fresh:
+            for p in shared_pages:
+                self.allocator.free(p)
+            return False
+        self.tables[seq_id] = list(shared_pages) + fresh
+        return True
+
     def block_table(self, seq_id: int) -> list[int]:
         return self.tables[seq_id]
 
     def num_free_pages(self) -> int:
         return self.allocator.num_free()
+
+
+@dataclasses.dataclass
+class _PrefixNode:
+    key: tuple
+    parent: Optional[tuple]
+    page_id: int
+    nchildren: int = 0
+    last_use: int = 0
+
+
+class PrefixStore:
+    """Page-granularity prefix cache over the paged pool.
+
+    A hash-chain trie of FULL pages: node key =
+    (parent_key, tuple(page_token_ids)) — exact token tuples, so there are
+    no hash-collision false hits. Each node holds one allocator reference
+    on its page; matching a new prompt walks the trie and hands the caller
+    refcounted pages to splice into the sequence's block table, so
+    repeated system prompts prefill only their suffix (the reference
+    treats prefix reuse as a core capability:
+    proxy_inference_engine/cache/prompt_cache.py:31-76 single-stream,
+    pie_core page_allocator.cpp:89-92 add_ref for the paged design; this
+    is the paged-path realization the reference never wired up).
+
+    KV content for a page depends only on the token prefix (RoPE is
+    absolute-position over the same positions), so identical prefixes on
+    the same model/params produce identical pages — for full-context AND
+    sliding-window layers (window masks read positions, pages store all).
+
+    Only whole pages are shared and at least the final prompt token is
+    always left unshared (it is the wake/decode input whose KV the new
+    lane writes itself), so a shared page is never written by a consumer:
+    no copy-on-write path exists because none is needed.
+
+    Eviction is LRU over LEAF nodes (an interior node's page backs every
+    descendant chain, so leaves go first); ``evict`` frees until the
+    allocator can satisfy the caller or the store is empty.
+    """
+
+    def __init__(self, manager: "PagedCacheManager"):
+        self.manager = manager
+        self.nodes: dict[tuple, _PrefixNode] = {}
+        self._clock = 0
+        self.hits = 0
+        self.misses = 0
+        self.hit_tokens = 0
+
+    def __len__(self) -> int:
+        return len(self.nodes)
+
+    @staticmethod
+    def _max_shared_pages(prompt_len: int) -> int:
+        # reserve the final token: it must be prefilled/decoded by the
+        # consumer lane itself
+        return max(0, (prompt_len - 1) // PAGE_SIZE)
+
+    def _chain(self, prompt_ids, limit_pages: int):
+        key: Optional[tuple] = None
+        for j in range(limit_pages):
+            page = tuple(prompt_ids[j * PAGE_SIZE: (j + 1) * PAGE_SIZE])
+            key = (key, page)
+            yield j, key, page
+
+    def match(self, prompt_ids: list[int]) -> list[int]:
+        """Longest cached full-page prefix of ``prompt_ids``; returns the
+        page ids (NOT yet refcounted — pass to
+        allocate_seq_with_prefix, which takes the refs)."""
+        self._clock += 1
+        pages: list[int] = []
+        for _, key, _page in self._chain(
+            prompt_ids, self._max_shared_pages(len(prompt_ids))
+        ):
+            node = self.nodes.get(key)
+            if node is None:
+                break
+            node.last_use = self._clock
+            pages.append(node.page_id)
+        if pages:
+            self.hits += 1
+            self.hit_tokens += len(pages) * PAGE_SIZE
+        else:
+            self.misses += 1
+        return pages
+
+    def insert(self, prompt_ids: list[int], table: list[int]):
+        """Register a prefilled prompt's full pages. ``table`` is the
+        sequence's block table; pages already in the trie keep the trie's
+        page id (they are the very shared pages the sequence spliced in,
+        or duplicates whose KV is identical); new nodes take one extra
+        ref on the sequence's page so it survives the sequence."""
+        self._clock += 1
+        for j, key, _page in self._chain(
+            prompt_ids, self._max_shared_pages(len(prompt_ids))
+        ):
+            node = self.nodes.get(key)
+            if node is not None:
+                node.last_use = self._clock
+                continue
+            parent = key[0]
+            page_id = table[j]
+            self.manager.allocator.add_ref(page_id)
+            self.nodes[key] = _PrefixNode(
+                key=key, parent=parent, page_id=page_id,
+                last_use=self._clock,
+            )
+            if parent is not None:
+                self.nodes[parent].nchildren += 1
+
+    def evict(self, num_pages: int) -> int:
+        """Free up to ``num_pages`` pages, oldest leaves first. Returns
+        pages released (a released page only returns to the free list
+        when no live sequence still references it)."""
+        freed = 0
+        while freed < num_pages and self.nodes:
+            leaves = [
+                n for n in self.nodes.values() if n.nchildren == 0
+            ]
+            if not leaves:  # cycle-impossible; defensive
+                break
+            victim = min(leaves, key=lambda n: n.last_use)
+            del self.nodes[victim.key]
+            if victim.parent is not None and victim.parent in self.nodes:
+                self.nodes[victim.parent].nchildren -= 1
+            self.manager.allocator.free(victim.page_id)
+            freed += 1
+        return freed
+
+    def clear(self):
+        self.evict(len(self.nodes))
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pie_tpu.cache.paged import PAGE_SIZE, PagedCacheManager, PagedKVPool
+from pie_tpu.cache.paged import (
+    PAGE_SIZE,
+    PagedCacheManager,
+    PagedKVPool,
+    PrefixStore,
+)
 from pie_tpu.engine.core import PAD_TOKEN
 from pie_tpu.ops.sampling import (
     SamplingParams,
@@ -106,6 +111,9 @@ class Sequence:
     # admission; re-armed mid-generation for forced-token runs.
     pending: list[int] = dataclasses.field(default_factory=list)
     pending_base: int = 0
+    # original prompt registered in the scheduler's PrefixStore (set at
+    # first wake so forced-run re-arms don't re-insert)
+    prefix_cached: bool = False
 
     @property
     def num_tokens(self) -> int:
@@ -367,12 +375,18 @@ class Scheduler:
         num_pages: Optional[int] = None,
         decode_steps: int = 8,
         max_stop_ids: int = 8,
+        prefix_cache: bool = True,
     ):
         self.engine = engine
         self.decode_steps = decode_steps
         self.max_stop_ids = max_stop_ids
         self.manager = PagedCacheManager(
             engine.pool.num_pages, engine.max_pages_per_seq
+        )
+        # page-granularity prefix reuse across requests (repeated system
+        # prompts prefill only their suffix); see cache/paged.PrefixStore
+        self.prefix_store = (
+            PrefixStore(self.manager) if prefix_cache else None
         )
         self.waiting: deque[Sequence] = deque()
         self.running: dict[int, Sequence] = {}  # lane -> seq
@@ -710,20 +724,36 @@ class Scheduler:
                 self.waiting.popleft()
                 self._finish(seq, "error: sequence exceeds max pages")
                 continue
-            if not self.manager.allocate_seq(seq.seq_id, need):
+            # prefix-cache hit: splice the cached full pages into the new
+            # table (refcounted, never written by this lane) and prefill
+            # only the suffix. VLM prompts are excluded: their KV depends
+            # on the image embeddings, not just the token ids.
+            store = self.prefix_store
+            use_store = store is not None and seq.prompt_embeds is None
+            while True:
+                shared = store.match(seq.prompt_ids) if use_store else []
+                if self.manager.allocate_seq_with_prefix(
+                    seq.seq_id, need, shared
+                ):
+                    break
+                shortfall = self.manager.pages_needed(need) - len(shared)
+                if store is None or store.evict(shortfall) == 0:
+                    shared = None
+                    break
+            if shared is None:
                 break  # pool exhausted -> stay queued (reference contract)
             self.waiting.popleft()
             lane = self.free_lanes.pop()
             seq.lane = lane
             seq.status = SeqStatus.PREFILLING
             seq.prefill_pos = 0
-            seq.pending = list(seq.prompt_ids)
-            seq.pending_base = 0
+            seq.pending = list(seq.prompt_ids[len(shared) * PAGE_SIZE:])
+            seq.pending_base = len(shared) * PAGE_SIZE
             self.running[lane] = seq
             table = self.manager.block_table(seq.seq_id)
             self.block_tables[lane] = -1
             self.block_tables[lane, : len(table)] = table
-            self.context_lens[lane] = 0
+            self.context_lens[lane] = seq.pending_base
             self.histories[lane] = PAD_TOKEN
             self.done[lane] = True  # frozen until its wake step
             self.produced[lane] = 0
@@ -790,6 +820,21 @@ class Scheduler:
             wake_hist[lane, -len(tail):] = tail
             seq.status = SeqStatus.DECODING
             self.produced[lane] = len(seq.output_ids)
+            if (
+                self.prefix_store is not None
+                and not seq.prefix_cached
+                and seq.prompt_embeds is None
+                and seq.pending_base + len(seq.pending)
+                == len(seq.prompt_ids)
+            ):
+                # first wake = the original prompt's KV is scheduled (this
+                # very chunk writes it; device program order makes it
+                # visible before any consumer chunk reads it)
+                seq.prefix_cached = True
+                self.prefix_store.insert(
+                    seq.prompt_ids,
+                    self.manager.block_table(seq.seq_id),
+                )
 
         qi = iter(prefilling)
         cur = next(qi, None)

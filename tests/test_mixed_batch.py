@@ -128,6 +128,13 @@ def test_page_accounting_after_mixed_chunks(model_params, reference):
     ]
     sch.run_to_completion(max_steps=100)
     assert all(s.status == SeqStatus.COMPLETED for s in seqs)
+    # the PrefixStore deliberately retains each prompt's full pages for
+    # reuse; after clearing it every page must be back in the pool
+    assert (
+        sch.manager.num_free_pages()
+        == sch.engine.pool.num_pages - len(sch.prefix_store)
+    )
+    sch.prefix_store.clear()
     assert sch.manager.num_free_pages() == sch.engine.pool.num_pages
 
 
