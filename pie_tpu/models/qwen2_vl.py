@@ -118,6 +118,48 @@ class Qwen2VLModel:
         "bv": "self_attn.v_proj.bias",
     }
 
+    def init_params(self, key, dtype=jnp.bfloat16) -> dict:
+        """Random-init text-decoder params (tests / dryruns / synthetic
+        benchmarks; no vision tower — pass real weights for that)."""
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.resolved_head_dim
+        hq, hkv, di = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.intermediate_size,
+        )
+        l = cfg.num_hidden_layers
+        keys = iter(jax.random.split(key, 16))
+
+        def w(k, *shape):
+            scale = 0.02 / np.sqrt(shape[-2])
+            return (
+                jax.random.normal(k, shape, jnp.float32) * scale
+            ).astype(dtype)
+
+        layers = {
+            "wq": w(next(keys), l, d, hq * dh),
+            "wk": w(next(keys), l, d, hkv * dh),
+            "wv": w(next(keys), l, d, hkv * dh),
+            "wo": w(next(keys), l, hq * dh, d),
+            "wg": w(next(keys), l, d, di),
+            "wu": w(next(keys), l, d, di),
+            "wd": w(next(keys), l, di, d),
+            "bq": jnp.zeros((l, hq * dh), dtype),
+            "bk": jnp.zeros((l, hkv * dh), dtype),
+            "bv": jnp.zeros((l, hkv * dh), dtype),
+            "ln1": jnp.ones((l, d), dtype),
+            "ln2": jnp.ones((l, d), dtype),
+        }
+        params = {
+            "embed": w(next(keys), cfg.vocab_size, d),
+            "layers": layers,
+            "norm": jnp.ones((d,), dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = w(next(keys), d, cfg.vocab_size)
+        return params
+
     def from_hf_state_dict(self, weights, dtype=jnp.bfloat16) -> dict:
         cfg = self.config
         l = cfg.num_hidden_layers

@@ -7,4 +7,11 @@ shard_map/pjit from NamedSharding specs.
 """
 
 from pie_tpu.parallel.mesh import make_mesh
-from pie_tpu.parallel.tp import shard_llama_params, shard_cache, param_specs
+from pie_tpu.parallel.tp import (
+    param_specs,
+    replicate_kv_heads,
+    shard_cache,
+    shard_llama_params,
+    shard_params,
+    shard_pool,
+)
