@@ -111,6 +111,12 @@ class Scheduler {
   // Drop a completed sequence's record entirely (after results were read).
   void release(uint64_t seq_id);
 
+  // Finish a live sequence from the driver with an explicit reason —
+  // the hook constrained (machine-carrying) decoding uses to stop a lane
+  // when its state machine completes (STOP) or rejects a token
+  // (MACHINE_ERROR). No-op on unknown / already-finished ids.
+  bool finish_external(uint64_t seq_id, FinishReason reason);
+
   // Fills out[num_lanes] with each lane's seq id (0 for free lanes), so the
   // driver can attribute batched decode tokens to requests for streaming.
   void lane_seqs(uint64_t* out) const;

@@ -59,6 +59,7 @@ enum class FinishReason : uint8_t {
   LENGTH = 2,      // max_generated_tokens
   CANCELLED = 3,
   OOM = 4,         // page pool exhausted mid-decode
+  MACHINE_ERROR = 5,  // constrained decoding produced an invalid token
 };
 
 struct Sequence {

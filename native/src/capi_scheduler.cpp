@@ -60,6 +60,14 @@ uint64_t pie_sched_submit(void* h, const int32_t* prompt, uint32_t prompt_len,
                    std::move(sc));
 }
 
+int32_t pie_sched_finish_external(void* h, uint64_t seq_id,
+                                  uint8_t reason) {
+  return static_cast<Scheduler*>(h)->finish_external(
+             seq_id, static_cast<pie_runtime::FinishReason>(reason))
+             ? 0
+             : -1;
+}
+
 int32_t pie_sched_cancel(void* h, uint64_t seq_id) {
   return static_cast<Scheduler*>(h)->cancel(seq_id) ? 0 : -1;
 }

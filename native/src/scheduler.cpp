@@ -39,6 +39,18 @@ uint64_t Scheduler::submit(std::vector<int32_t> prompt,
   return id;
 }
 
+bool Scheduler::finish_external(uint64_t seq_id, FinishReason reason) {
+  std::lock_guard<std::mutex> g(mu_);
+  Sequence* seq = find(seq_id);
+  if (seq == nullptr) return false;
+  if (seq->status != SeqStatus::PREFILLING &&
+      seq->status != SeqStatus::DECODING) {
+    return false;  // already finished (e.g. native stop on the same token)
+  }
+  finish(*seq, reason);
+  return true;
+}
+
 bool Scheduler::cancel(uint64_t seq_id) {
   std::lock_guard<std::mutex> g(mu_);
   Sequence* seq = find(seq_id);
@@ -338,7 +350,8 @@ void Scheduler::finish(Sequence& seq, FinishReason reason) {
   seq.finish_reason = reason;
   seq.status = reason == FinishReason::CANCELLED ? SeqStatus::CANCELLED
                : reason == FinishReason::OOM     ? SeqStatus::ERROR
-                                                 : SeqStatus::COMPLETED;
+               : reason == FinishReason::MACHINE_ERROR ? SeqStatus::ERROR
+                                                       : SeqStatus::COMPLETED;
   for (uint32_t p : seq.page_table) allocator_.free_page(p);
   seq.page_table.clear();
   for (auto& lane : lanes_) {

@@ -173,7 +173,7 @@ class PagedEngine:
         self._prefill = jax.jit(self._prefill_impl, donate_argnames=("pool",))
         self._decode = jax.jit(
             self._decode_impl, donate_argnames=("pool",),
-            static_argnames=("sampler_kind",),
+            static_argnames=("sampler_kind", "use_mask"),
         )
         self._sample_first = jax.jit(self._sample_first_impl)
         self._chunk = jax.jit(
@@ -205,9 +205,14 @@ class PagedEngine:
 
     def _decode_impl(self, params, pool, last_tokens, context_lens,
                      block_tables, histories, sampling, pen_rep, pen_pres,
-                     pen_freq, active, key, sampler_kind="auto"):
+                     pen_freq, active, key, allowed_mask=None,
+                     mask_valid=None, sampler_kind="auto",
+                     use_mask: bool = False):
         """One batched decode step over all lanes. Inactive lanes compute
-        with context_len 1 (cheap) and their results are masked out."""
+        with context_len 1 (cheap) and their results are masked out.
+        use_mask: apply the [B, V] constrained-decoding token mask to
+        lanes flagged in mask_valid (native-scheduler constrained path —
+        it steps one token at a time, so every token is masked)."""
         b = last_tokens.shape[0]
         # inactive lanes (free, or mid-prefill) must not write KV anywhere:
         # position -1 routes their write out-of-bounds in paged_forward
@@ -220,6 +225,10 @@ class PagedEngine:
         logits = logits[:, 0]
         logits = repetition_penalty(logits, histories, pen_rep)
         logits = presence_frequency_penalty(logits, histories, pen_pres, pen_freq)
+        if use_mask:
+            logits = jnp.where(
+                mask_valid[:, None] & ~allowed_mask, -1e30, logits
+            )
         key, sub = jax.random.split(key)
         tokens = sample(logits, sampling, sub, kind=sampler_kind)
         tokens = jnp.where(active, tokens, PAD_TOKEN)

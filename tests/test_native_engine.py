@@ -52,8 +52,17 @@ def _tiny_tokenizer():
         "hello", "world", "how", "are", "you", "fine", "thanks", "user",
         "assistant", "system", "<unk>",
     ]
+    json_pieces = (
+        list('{}[]":,.-0123456789 ')
+        + ['{"', '"}', '": ', '", "', "true", "false", "null"]
+        + list("abcdefghijklmnopqrstuvwxyz")
+        + ["name", "count", "alpha", "beta"]
+    )
     specials = LLAMA3.all_control_tokens
     vocab = {w: i for i, w in enumerate(specials + words)}
+    for piece in json_pieces:
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
     raw = RawTok(models.WordLevel(vocab, unk_token="<unk>"))
     raw.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
     raw.add_special_tokens(specials)
@@ -122,17 +131,78 @@ def test_native_engine_concurrent(setup):
         assert results[i] == want[i], (i, results[i], want[i])
 
 
-def test_native_engine_rejects_constrained(setup):
-    _, native = setup
-    from pie_tpu.structured import RootStateMachine
+def test_native_engine_constrained_parity(setup):
+    """Constrained (json_schema) generation on the NATIVE scheduler: the
+    machine rides the C++ step loop through the driver's host mask
+    callback (round-4 verdict weak #7 — these requests used to be
+    rejected) and produces the same valid JSON as the Python scheduler."""
+    import json
 
-    root = RootStateMachine(native.tokenizer.control_tokens)
-    st = root.configure(response_format={"type": "json_object"})
-    from pie_tpu.engine.engine import InferenceError
+    single, native = setup
+    # after the enum value the machine forces the closing brace, so the
+    # output terminates deterministically regardless of model weights
+    schema = {
+        "type": "object",
+        "properties": {"name": {"enum": ["alpha", "beta"]}},
+        "required": ["name"],
+        "additionalProperties": False,
+    }
+    inter = native.chat(
+        [{"role": "user", "text": "hello"}],
+        response_format={
+            "type": "json_schema",
+            "json_schema": {"name": "t", "schema": schema},
+        },
+        max_completion_tokens=64,
+        temperature=0.0,
+    )
+    data = json.loads(inter.text)
+    assert data["name"] in ("alpha", "beta")
+    assert inter.finish_reason == "stop"
 
-    with pytest.raises(InferenceError, match="native scheduler"):
-        native.generate_constrained([5, 6], st.machine,
-                                    max_completion_tokens=8)
+    # structural parity with the PYTHON paged scheduler: both produce a
+    # schema-valid, machine-completed object. Token-exact equality is NOT
+    # asserted: this random-init model has near-tie logits everywhere and
+    # the python path's wake chunk runs mixed_forward (M = lanes + rider)
+    # while the native loop decodes at M = lanes — different reduction
+    # shapes legitimately flip exact ties at multi-choice points.
+    py = BatchedInferenceEngine(
+        model=native.model, params=native.params,
+        tokenizer=native.tokenizer, num_lanes=4, num_pages=32,
+        max_pages_per_seq=8, prefill_chunk=16,
+    )
+    py.core.pool = dataclasses.replace(
+        py.core.pool,
+        k=py.core.pool.k.astype(jnp.float32),
+        v=py.core.pool.v.astype(jnp.float32),
+    )
+    try:
+        want = py.chat(
+            [{"role": "user", "text": "hello"}],
+            response_format={
+                "type": "json_schema",
+                "json_schema": {"name": "t", "schema": schema},
+            },
+            max_completion_tokens=64,
+            temperature=0.0,
+        )
+    finally:
+        py.shutdown()
+    wdata = json.loads(want.text)
+    assert wdata["name"] in ("alpha", "beta")
+    assert want.finish_reason == "stop"
+
+    # the native path itself is deterministic at temperature 0
+    again = native.chat(
+        [{"role": "user", "text": "hello"}],
+        response_format={
+            "type": "json_schema",
+            "json_schema": {"name": "t", "schema": schema},
+        },
+        max_completion_tokens=64,
+        temperature=0.0,
+    )
+    assert again.text == inter.text
 
 
 def test_server_concurrent_requests_on_native_scheduler(setup):
