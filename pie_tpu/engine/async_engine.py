@@ -276,6 +276,32 @@ class BatchedInferenceEngine:
         )
         seq.seq_id = self._next_id()
         seq.prompt_embeds = prompt_embeds
+        if (
+            prompt_embeds is not None
+            and getattr(self.model, "uses_mrope", False)
+            and (image_kwargs or {}).get("grid_thw") is not None
+        ):
+            # TRUE M-RoPE through the batched path (exceeds the reference,
+            # which text-collapses mrope in serving —
+            # models/intern/language.py:54-55): the rider carries the
+            # prompt's [3, plen] t/h/w grids and decode lanes run at a
+            # constant offset behind the KV slot index
+            import numpy as np
+
+            from pie_tpu.models.qwen2_vl import mrope_positions
+
+            grid = np.asarray(image_kwargs["grid_thw"])
+            merge = getattr(
+                getattr(self.model, "vision", None),
+                "spatial_merge_size", 2,
+            ) or 2
+            p3 = mrope_positions(
+                np.asarray([list(prompt_ids)], np.int64),
+                self.model.config.image_token_id, grid,
+                spatial_merge_size=merge,
+            )[:, 0]
+            seq.positions3 = p3.astype(np.int32)
+            seq.pos_delta = len(prompt_ids) - (int(p3.max()) + 1)
         seq._out_q = out_q
         seq.on_token = lambda s, t: out_q.put(t)
         seq.on_finish = lambda s: out_q.put(_SENTINEL)

@@ -199,6 +199,8 @@ class EngineCore:
         allowed_mask=None,
         inputs_embeds=None,  # [B, Tpad, D] — VLM prefill (image features
         #                       already scattered over placeholder slots)
+        positions3=None,  # [3, B, Tpad] M-RoPE t/h/w streams (qwen2-vl
+        #                   image prompts; None = text-collapsed rope)
         return_logprobs: bool = False,
         sampler_kind: str = "auto",
     ):
@@ -206,9 +208,10 @@ class EngineCore:
         b, t = input_ids.shape
         positions = first_pos[:, None] + jnp.arange(t)[None, :]
         cache = state.cache.advance(first_pos, t, valid_lens=prompt_lens)
+        extra = {} if positions3 is None else {"positions3": positions3}
         logits, cache = self.model(
             params, input_ids, cache, positions, inputs_embeds=inputs_embeds,
-            valid_lens=prompt_lens,
+            valid_lens=prompt_lens, **extra,
         )
         cache = cache.trim_to(first_pos + prompt_lens)
 
@@ -262,6 +265,12 @@ class EngineCore:
         bias_vals,
         stop_ids,  # [NS] int32, -1 padded
         allowed_mask=None,  # [B, V] or None — constrained decoding mask
+        pos_delta=None,  # [B] or None — M-RoPE decode offset: after an
+        #                  image prompt the rope position stream runs
+        #                  AHEAD of the KV slot index by delta (HF
+        #                  get_rope_index semantics); rope sees
+        #                  lengths - delta while the cache writes at
+        #                  lengths. None = text rope (positions as-is).
         num_steps: int = 8,
         return_logprobs: bool = False,
         sampler_kind: str = "auto",
@@ -291,9 +300,16 @@ class EngineCore:
         def step(state, _):
             active = ~state.done
             cache = state.cache.advance(state.lengths, 1)
+            extra = {}
+            if pos_delta is not None:
+                from pie_tpu.models.qwen2_vl import text_positions3
+
+                extra["positions3"] = text_positions3(
+                    (state.lengths - pos_delta)[:, None]
+                )
             logits, cache = self.model(
                 params, state.last_token[:, None], cache,
-                state.lengths[:, None],
+                state.lengths[:, None], **extra,
             )
             logits = logits[:, 0]
             if "noproc" in self._ablate:

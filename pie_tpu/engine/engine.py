@@ -376,10 +376,40 @@ class InferenceEngine:
         )
 
         inputs_embeds = None
+        positions3 = None
+        pos_delta = None
         if pixel_values is not None:
             if not hasattr(self.model, "embed_with_images"):
                 raise InferenceError("model has no vision tower")
             image_kwargs = kw.pop("image_kwargs", None) or {}
+            if (
+                image_kwargs.get("grid_thw") is not None
+                and hasattr(self.model.config, "mrope_section")
+            ):
+                # TRUE M-RoPE for image-bearing prompts: t/h/w position
+                # grids over the image runs, then a uniform stream that
+                # resumes at max+1 — so decode rope positions run BEHIND
+                # the KV slot index by a constant per-sequence delta.
+                # This EXCEEDS the reference, whose text decoder ignores
+                # mrope and uses plain rope for serving
+                # (reference models/intern/language.py:54-55).
+                from pie_tpu.models.qwen2_vl import mrope_positions
+
+                grid = np.asarray(image_kwargs["grid_thw"])
+                merge = getattr(
+                    getattr(self.model, "vision", None),
+                    "spatial_merge_size", 2,
+                ) or 2
+                p3 = mrope_positions(
+                    ids, self.model.config.image_token_id, grid,
+                    spatial_merge_size=merge,
+                )
+                positions3 = jnp.asarray(p3.astype(np.int32))
+                pos_delta = jnp.full(
+                    (1,),
+                    slen - (int(p3[:, :, :slen].max()) + 1),
+                    jnp.int32,
+                )
             if image_kwargs:
                 # model-specific host-side extras (qwen2-vl grid_thw drives
                 # static vision window ordering — unjittable)
@@ -428,6 +458,7 @@ class InferenceEngine:
             bias_ids,
             bias_vals,
             inputs_embeds=inputs_embeds,
+            positions3=positions3,
             return_logprobs=logprobs,
             sampler_kind=skind,
         )
@@ -504,6 +535,7 @@ class InferenceEngine:
                 bias_ids,
                 bias_vals,
                 stop,
+                pos_delta=pos_delta,
                 num_steps=steps,
                 return_logprobs=logprobs,
                 sampler_kind=skind,

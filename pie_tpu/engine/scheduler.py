@@ -114,6 +114,12 @@ class Sequence:
     # original prompt registered in the scheduler's PrefixStore (set at
     # first wake so forced-run re-arms don't re-insert)
     prefix_cached: bool = False
+    # TRUE M-RoPE for image-bearing qwen2-vl sequences: [3, plen] int32
+    # t/h/w streams for the prompt (None = text rope) and the constant
+    # decode offset (rope position = kv position - pos_delta after the
+    # prompt; HF get_rope_index semantics)
+    positions3: Any = None
+    pos_delta: int = 0
 
     @property
     def num_tokens(self) -> int:
@@ -253,6 +259,10 @@ class PagedEngine:
         #                   [N, 1, 1] dummy when use_embeds is False
         pf_euse_steps,  # [N] bool — step's rider slice carries embeddings
         #                 (a chunk can mix VLM and plain-text riders)
+        pf_pos3_steps,  # [N, 3, Cs] rider M-RoPE streams when the model
+        #                 uses_mrope ([N, 1, 1] dummy otherwise)
+        pos_delta,  # [B] int32 per-lane M-RoPE decode offset (zeros for
+        #             text; only read when model.uses_mrope)
         wake_step,  # [B] step at which the lane starts decoding (-1 never)
         wake_tokens,  # [B] the prompt's final token (first decode input)
         wake_ctx,  # [B] pool tokens at wake (= prompt_len - 1)
@@ -289,9 +299,11 @@ class PagedEngine:
         ~7x per step at 8 lanes + a 64-wide rider.
         """
 
+        mrope = getattr(self.model, "uses_mrope", False)
+
         def step(carry, xs):
             pool, last, ctx, hist, done, prod, cnt, key = carry
-            pf_ids, pf_pos, pf_lane, pf_ctx, pf_emb, pf_euse, s = xs
+            pf_ids, pf_pos, pf_lane, pf_ctx, pf_emb, pf_euse, pf_p3, s = xs
 
             wake = wake_step == s
             last = jnp.where(wake, wake_tokens, last)
@@ -308,6 +320,9 @@ class PagedEngine:
                     if use_embeds
                     else {}
                 )
+                if mrope:
+                    extra["pf_pos3"] = pf_p3
+                    extra["pos_delta"] = pos_delta
                 logits, pool = self.model.mixed_forward(
                     params, pool, last, dec_pos, dec_ctx, block_tables,
                     pf_ids, pf_pos, pf_lane, pf_ctx, **extra,
@@ -316,6 +331,7 @@ class PagedEngine:
                 logits, pool = self.model.paged_forward(
                     params, last[:, None], pool, block_tables,
                     dec_pos[:, None], dec_ctx,
+                    **({"pos_delta": pos_delta} if mrope else {}),
                 )
                 logits = logits[:, 0]
             logits = repetition_penalty(logits, hist, pen_rep)
@@ -353,7 +369,7 @@ class PagedEngine:
 
         xs = (
             pf_ids_steps, pf_pos_steps, pf_lane_steps, pf_ctx_steps,
-            pf_embeds_steps, pf_euse_steps,
+            pf_embeds_steps, pf_euse_steps, pf_pos3_steps,
             jnp.arange(num_steps, dtype=jnp.int32),
         )
         cnt0 = jnp.zeros_like(produced)
@@ -428,6 +444,9 @@ class Scheduler:
         self.max_bias = 16
         self.bias_ids = np.full((b, self.max_bias), -1, np.int32)
         self.bias_vals = np.zeros((b, self.max_bias), np.float32)
+        # per-lane M-RoPE decode offset (qwen2-vl image sequences)
+        self.pos_delta = np.zeros((b,), np.int32)
+        self._mrope = getattr(engine.model, "uses_mrope", False)
         # steady-state chunk pipelining: the last dispatched chunk's
         # device-resident lane state (inputs for the next chunk without a
         # host round trip) and its not-yet-drained emitted tokens. Host
@@ -594,6 +613,8 @@ class Scheduler:
             jnp.zeros((n,), jnp.int32),
             jnp.zeros((n, 1, 1), jnp.float32),
             jnp.zeros((n,), bool),
+            jnp.full((n, 1, 1), -1, jnp.int32),  # pf_pos3: no riders
+            jnp.asarray(self.pos_delta),
             jnp.full((b,), -1, jnp.int32),  # wake_step: no wakes
             jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32),
@@ -779,6 +800,7 @@ class Scheduler:
             self.pen["frequency"][lane] = seq.frequency_penalty
             self.bias_ids[lane] = -1
             self.bias_vals[lane] = 0.0
+            self.pos_delta[lane] = seq.pos_delta
             if seq.logit_bias:
                 items = sorted(seq.logit_bias.items())[: self.max_bias]
                 for i, (tid, bv) in enumerate(items):
@@ -801,6 +823,10 @@ class Scheduler:
         pf_ctx = np.zeros((n,), np.int32)
         pf_embeds = None  # lazily allocated [n, cs, D] when a VLM seq rides
         pf_euse = np.zeros((n,), bool)
+        # rider M-RoPE streams; only materialized for mrope models
+        pf_pos3 = (
+            np.full((n, 3, cs), -1, np.int32) if self._mrope else None
+        )
         wake_step = np.full((b,), -1, np.int32)
         wake_tokens = np.zeros((b,), np.int32)
         wake_ctx = np.zeros((b,), np.int32)
@@ -862,6 +888,13 @@ class Scheduler:
                 cnt = min(cs, rem)
                 sl = seq.pending[seq.prefill_pos : seq.prefill_pos + cnt]
                 pf_ids[s, :cnt] = sl
+                if pf_pos3 is not None:
+                    pf_pos3[s, :, :cnt] = _pos3_slice(
+                        seq,
+                        base + np.arange(
+                            seq.prefill_pos, seq.prefill_pos + cnt
+                        ),
+                    )
                 pf_pos[s, :cnt] = base + np.arange(
                     seq.prefill_pos, seq.prefill_pos + cnt
                 )
@@ -923,10 +956,12 @@ class Scheduler:
                     pf_pos[s] = -1
                     pf_lane[s] = 0
                     pf_ctx[s] = 0
+                    if pf_pos3 is not None:
+                        pf_pos3[s] = -1
 
         return dict(
             pf_ids=pf_ids, pf_pos=pf_pos, pf_lane=pf_lane, pf_ctx=pf_ctx,
-            pf_embeds=pf_embeds, pf_euse=pf_euse,
+            pf_embeds=pf_embeds, pf_euse=pf_euse, pf_pos3=pf_pos3,
             wake_step=wake_step, wake_tokens=wake_tokens, wake_ctx=wake_ctx,
             wake_hist=wake_hist,
         )
@@ -1021,6 +1056,12 @@ class Scheduler:
                 else np.zeros((n, 1, 1), np.float32)
             ),
             jnp.asarray(plan["pf_euse"]),
+            jnp.asarray(
+                plan["pf_pos3"]
+                if plan["pf_pos3"] is not None
+                else np.full((n, 1, 1), -1, np.int32)
+            ),
+            jnp.asarray(self.pos_delta),
             jnp.asarray(plan["wake_step"]),
             jnp.asarray(plan["wake_tokens"]),
             jnp.asarray(plan["wake_ctx"]),
@@ -1314,6 +1355,22 @@ class Scheduler:
                 seq.on_finish(seq)
             except Exception:  # pragma: no cover
                 logger.exception("on_finish callback failed")
+
+
+def _pos3_slice(seq: "Sequence", pos: np.ndarray) -> np.ndarray:
+    """[3, k] M-RoPE streams for absolute pool positions ``pos`` of one
+    sequence: prompt positions read the host-computed grid
+    (seq.positions3); generated positions run uniformly at
+    pos - pos_delta (HF get_rope_index text-resume semantics)."""
+    out = np.broadcast_to(
+        (pos - seq.pos_delta)[None], (3, len(pos))
+    ).astype(np.int32)
+    if seq.positions3 is not None:
+        plen = seq.positions3.shape[1]
+        in_prompt = pos < plen
+        idx = np.clip(pos, 0, plen - 1)
+        out = np.where(in_prompt[None], seq.positions3[:, idx], out)
+    return out
 
 
 def _bucket_chunk(n: int, max_chunk: int) -> int:

@@ -90,6 +90,8 @@ def text_positions3(positions):
 @register_model("qwen2_vl")
 class Qwen2VLModel:
     config_class = Qwen2VLConfig
+    #: scheduler hint: forwards accept pos_delta / pf_pos3 for true M-RoPE
+    uses_mrope = True
 
     def __init__(self, config: Qwen2VLConfig):
         self.config = config
@@ -325,15 +327,18 @@ class Qwen2VLModel:
         positions: jax.Array,  # [B, T]
         context_lens: jax.Array,  # [B] lens AFTER this chunk
         use_kernel: bool = True,
+        pos_delta=None,  # [B] M-RoPE offset: for image-bearing sequences
+        #   the rope position stream lags the KV slot index by a constant
+        #   (HF get_rope_index: text after an image resumes at max+1);
+        #   rope sees positions - pos_delta, the pool writes at positions.
+        #   None = text rope. EXCEEDS the reference, whose decoder ignores
+        #   mrope in serving (models/intern/language.py:54-55).
     ):
         """Qwen2-VL forward over the global paged pool (round-3 verdict
         missing #1: qwen2_vl had no paged/mixed forward, so it could not
-        batch). Decode and generated text collapse M-RoPE to standard rope
-        (all three position streams equal, text_positions3 — reference
-        models/intern/language.py:27-33 mrope with equal streams), matching
-        the single-stream engine's behavior. Decode (T==1) runs the Pallas
-        paged-attention kernel; prefill gathers pages to dense KV
-        (reference include/models/imodel.hpp:16-35 intended design)."""
+        batch). Decode (T==1) runs the Pallas paged-attention kernel;
+        prefill gathers pages to dense KV (reference
+        include/models/imodel.hpp:16-35 intended design)."""
         from pie_tpu.cache import paged as paged_mod
         from pie_tpu.models.llama import _paged_kv_positions
         from pie_tpu.ops.paged_attention import (
@@ -356,7 +361,13 @@ class Qwen2VLModel:
         scale = dh**-0.5
         eps = cfg.rms_norm_eps
         sections = tuple(cfg.mrope_section)
-        positions3 = text_positions3(positions)
+        if pos_delta is None:
+            positions3 = text_positions3(positions)
+        else:
+            rope_pos = jnp.where(
+                positions >= 0, positions - pos_delta[:, None], positions
+            )
+            positions3 = text_positions3(rope_pos)
 
         page_idx = positions // paged_mod.PAGE_SIZE
         slot = positions % paged_mod.PAGE_SIZE
@@ -492,13 +503,16 @@ class Qwen2VLModel:
         #   computed host-side by embed_with_images; reference
         #   models/intern/ensemble.py:62-91 scatter)
         pf_embeds_valid=True,
+        pf_pos3=None,  # [3, Cs] rider M-RoPE streams (image runs carry
+        #   real t/h/w grids; -1 where pf_ids is padding). None = text.
+        pos_delta=None,  # [B] decode-lane M-RoPE offset (see paged_forward)
     ):
         """Qwen2-VL analog of LlamaModel.mixed_forward: every live decode
         lane advances one token while a prefill-rider slice (tokens OR
         precomputed VLM embeddings) writes KV through the same weight
-        stream (reference include/engine/batch_details.hpp:10-88). M-RoPE
-        uses text-collapsed position streams, matching the single-stream
-        engine."""
+        stream (reference include/engine/batch_details.hpp:10-88). With
+        pf_pos3/pos_delta the rope path runs TRUE M-RoPE for image-bearing
+        sequences (text-only lanes pass equal streams)."""
         from pie_tpu.cache import paged as paged_mod
         from pie_tpu.models.llama import _paged_kv_positions
         from pie_tpu.ops.paged_attention import (
@@ -524,7 +538,24 @@ class Qwen2VLModel:
 
         flat_ids = jnp.concatenate([dec_tokens, pf_ids])
         positions = jnp.concatenate([dec_positions, pf_positions])
-        positions3 = text_positions3(positions[None])
+        if pos_delta is None and pf_pos3 is None:
+            positions3 = text_positions3(positions[None])
+        else:
+            dec_rope = (
+                dec_positions
+                if pos_delta is None
+                else jnp.where(
+                    dec_positions >= 0, dec_positions - pos_delta,
+                    dec_positions,
+                )
+            )
+            dec3 = jnp.broadcast_to(dec_rope[None], (3, b))
+            pf3 = (
+                pf_pos3
+                if pf_pos3 is not None
+                else jnp.broadcast_to(pf_positions[None], (3, cs))
+            )
+            positions3 = jnp.concatenate([dec3, pf3], axis=1)[:, None, :]
         h = self.embed(params, jnp.maximum(flat_ids, 0)[None])  # [1, M, D]
         if pf_embeds is not None:
             pf_part = jnp.where(
