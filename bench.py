@@ -196,7 +196,10 @@ def bench_paged(config, lanes=8, prompt_len=64, new_tokens=128):
         total = sum(len(s.output_ids) for s in seqs)
         best = max(best, total / dt)
 
-    # (b) TTFT of a 512-token prompt admitted while 7 lanes decode
+    # (b) TTFT of a 512-token prompt admitted while 7 lanes decode.
+    # DISTINCT prompts per trial: identical prompts would hit the
+    # PrefixStore and skip prefill entirely — that case is measured
+    # separately as ttft_cached below.
     log("bench[paged]: TTFT under decode load")
     busy = [
         sched.add_request(prompt, max_new_tokens=400, temperature=0.0)
@@ -211,22 +214,85 @@ def bench_paged(config, lanes=8, prompt_len=64, new_tokens=128):
     )
     while warm.finish_reason is None:
         sched.step()
-    ttfts = []
-    for _ in range(3):
+
+    def fresh_prompt(salt):
+        return [1 + (i * 37 + salt * 101) % 100000 for i in range(512)]
+
+    def ttft_of(req_prompt):
         t0 = _t.perf_counter()
         late = sched.add_request(
-            list(range(1, 513)), max_new_tokens=8, temperature=0.0
+            req_prompt, max_new_tokens=8, temperature=0.0
         )
         while not late.output_ids:
             sched.step()
-        ttfts.append(_t.perf_counter() - t0)
+        dt = _t.perf_counter() - t0
         while late.finish_reason is None:
             sched.step()
+        return dt
+
+    ttfts = sorted(ttft_of(fresh_prompt(s)) for s in range(3))
+
+    # (c) prefix-cache hit: the SAME 512-token prompt again — full pages
+    # splice from the PrefixStore and only the tail token prefills
+    cached_prompt = fresh_prompt(99)
+    ttft_of(cached_prompt)  # populate the store
+    ttfts_cached = sorted(ttft_of(cached_prompt) for _ in range(3))
+
     for s in busy:
         s.cancelled = True
     sched.run_to_completion()
-    ttfts.sort()
-    return best, ttfts[len(ttfts) // 2]
+    return (
+        best, ttfts[len(ttfts) // 2], ttfts_cached[len(ttfts_cached) // 2]
+    )
+
+
+def bench_paged_longctx(config, lanes=8, ctx=2048, new_tokens=128):
+    """Round-4 verdict weak #4: the paged path was only ever measured at
+    ~192-token contexts. 8 lanes at ``ctx``-token contexts: per-step page
+    walks cover ctx/64 pages per lane, exercising the paged-attention
+    kernel's DMA pipeline at realistic depth."""
+    import time as _t
+
+    from pie_tpu.engine.scheduler import PagedEngine, Scheduler
+    from pie_tpu.models.llama import LlamaModel
+
+    model = LlamaModel(config)
+    log(f"bench[paged-{ctx}]: init")
+    params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
+    pages_per_seq = ctx // 64 + 2
+    engine = PagedEngine(
+        model, params, num_lanes=lanes,
+        num_pages=lanes * pages_per_seq + 8,
+        max_pages_per_seq=pages_per_seq, kv_quantized=True,
+    )
+    sched = Scheduler(engine, decode_steps=8, prefix_cache=False)
+    plen = ctx - new_tokens
+
+    def prompt(salt):
+        return [1 + (i * 37 + salt * 101) % 100000 for i in range(plen)]
+
+    log(f"bench[paged-{ctx}]: warmup/compile")
+    w = sched.add_request(prompt(0), max_new_tokens=9, temperature=0.0)
+    sched.run_to_completion()
+    best = 0.0
+    for rep in range(2):
+        seqs = [
+            sched.add_request(
+                prompt(rep * lanes + i + 1), max_new_tokens=new_tokens,
+                temperature=0.0,
+            )
+            for i in range(lanes)
+        ]
+        # admit + prefill all lanes first; time the decode-dominated drain
+        while any(not s.output_ids for s in seqs):
+            sched.step()
+        done0 = sum(len(s.output_ids) for s in seqs)
+        t0 = _t.perf_counter()
+        sched.run_to_completion()
+        dt = _t.perf_counter() - t0
+        total = sum(len(s.output_ids) for s in seqs) - done0
+        best = max(best, total / dt)
+    return best
 
 
 def main():
@@ -263,7 +329,9 @@ def main():
     )
     roof1 = gbps * 1e9 / bytes1
     # charter config #3: INT8 paged KV + continuous batching (8 lanes)
-    paged_tok, ttft_load = bench_paged(llama3_8b_config())
+    paged_tok, ttft_load, ttft_cached = bench_paged(llama3_8b_config())
+    # round-5: long-context paged serving (2k ctx per lane)
+    paged2k_tok = bench_paged_longctx(llama3_8b_config())
 
     out = {
         "metric": "llama3-8b_int4g64_b1_decode",
@@ -279,6 +347,8 @@ def main():
             "weight_bytes_1b": bytes1,
             "8b_paged8_int8kv_tok_s": round(paged_tok, 2),
             "8b_ttft_under_load_p50_ms": round(ttft_load * 1e3, 1),
+            "8b_ttft_under_load_cached_p50_ms": round(ttft_cached * 1e3, 1),
+            "8b_paged8_ctx2k_tok_s": round(paged2k_tok, 2),
         },
     }
     print(json.dumps(out))

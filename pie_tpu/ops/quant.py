@@ -299,6 +299,14 @@ def from_mlx_layout(
 # ---------------------------------------------------------------------------
 
 
+# auto-route quantized matmuls with M >= this many rows to the XLA
+# dequant+dot path (0 = always use the Pallas kernel); flipped by the
+# hardware A/B in benchmarks/trace_prefill.py
+import os as _os
+
+PREFILL_XLA_M = int(_os.environ.get("PIE_PREFILL_XLA_M", "0"))
+
+
 def _matmul_xla(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """Reference/fallback path: dequantize + dense dot (XLA fuses what it
     can). Used on CPU and as the numerical baseline for the Pallas kernel."""
@@ -336,6 +344,16 @@ def quantized_matmul(
         raise ValueError("stacked QuantizedTensor needs a layer index")
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        m_rows = 1
+        for d in x.shape[:-1]:
+            m_rows *= d
+        if (
+            impl == "pallas" and PREFILL_XLA_M and m_rows >= PREFILL_XLA_M
+            and rope_dim == 0 and ln_w is None
+        ):
+            # prefill-sized M: dequantize-to-bf16 + dense MXU dot can beat
+            # the fused kernel (A/B'd on hardware; see PROFILE.md round 5)
+            impl = "xla"
     if impl == "pallas" and qt.shape[1] % 128 != 0:
         # sub-lane-tile output dims (tiny test models) -> XLA fallback
         impl = "xla"

@@ -46,9 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 from pie_tpu.ops.quant import PACK_TILE_K, QuantizedTensor
 
 # Default tile sizes (prefill / large-M). Decode-sized calls override.
-DEFAULT_BM = 256
-DEFAULT_BN = 512
-DEFAULT_BK = 512
+# Round-5 hardware sweep (in the real _prefill program, not isolated —
+# isolated timings through the dispatch tunnel are untrustworthy): the
+# old 256/512/512 ran an M=512 8B pass at 183 ms; 512/1024/2048 runs it
+# at 115 ms (M=256: 96 -> 66 ms). bm covers M up to 512 in one m-tile
+# (each m-tile re-streams + re-unpacks every weight block); bigger bn/bk
+# cut grid-step count so the VPU unpack serializes against fewer, deeper
+# MXU dots. bn=2048 at prefill bm OOMs scoped VMEM (16 MB) — the
+# temporaries term below keeps _fit_tiles honest about that.
+DEFAULT_BM = int(__import__("os").environ.get("PIE_PREFILL_BM", "512"))
+DEFAULT_BN = int(__import__("os").environ.get("PIE_PREFILL_BN", "1024"))
+DEFAULT_BK = int(__import__("os").environ.get("PIE_PREFILL_BK", "2048"))
 # Decode (small M): bn=2048 / bk=2048 is the general-purpose optimum
 # (differential-timed sweeps on v5e, benchmarks/sweep_tiles.py). Specific
 # shapes beat it with exact few-tile splits — the round-4 sweep reads
@@ -66,7 +74,7 @@ DECODE_BK = 2048
 DECODE_TILES: dict = {}
 # scoped-VMEM budget for tile selection: 16 MB hardware limit less slack
 # for Mosaic's own scratch
-VMEM_BUDGET = 12 * 1024 * 1024
+VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _tile_vmem_bytes(bm: int, bn: int, bk: int, ep: int, g: int) -> int:
@@ -76,7 +84,11 @@ def _tile_vmem_bytes(bm: int, bn: int, bk: int, ep: int, g: int) -> int:
     x = bm * bk * 2 * 2
     acc = bm * bn * 4
     out = bm * bn * 2 * 2
-    return packed + scales + x + acc + out
+    # VPU temporaries of the per-element dequant (plane codes + the
+    # concatenated [512, bn] bf16 tile); measured: bn=2048 prefill tiles
+    # exceed the 16 MB scoped limit without this term
+    temps = PACK_TILE_K * bn * 2 * 3
+    return packed + scales + x + acc + out + temps
 
 
 def _fit_tiles(bm: int, bn: int, bk: int, ep: int, g: int) -> tuple[int, int]:
@@ -187,21 +199,27 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
                         acc = acc + part * s_eff[grow][None, :]
             else:
                 s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
+                planes = []
                 for j in range(4):
                     codes = _plane_codes(pk, j)
                     if g >= 128:
                         srow = s128[(128 * j) // g][None, :]
-                        wd = codes * srow
+                        planes.append(codes * srow)
                     else:
                         srep = _row_repeat(
                             s128[j * spp:(j + 1) * spp, :], g
                         )  # [128, bn]
-                        wd = codes * srep
-                    xt = xb[:, t * PACK_TILE_K + 128 * j:
-                            t * PACK_TILE_K + 128 * (j + 1)]
-                    acc = acc + jnp.dot(
-                        xt, wd, preferred_element_type=jnp.float32
-                    )
+                        planes.append(codes * srep)
+                # ONE deep dot per 512-row tile instead of four K=128
+                # dots: shallow per-plane dots left the MXU at ~19%
+                # utilization on prefill (measured 96 ms for an M=256
+                # 8B pass vs the ~20 ms flops bound); a K=512 dot
+                # amortizes the systolic fill across the tile
+                wd = jnp.concatenate(planes, axis=0)  # [512, bn]
+                xt = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K]
+                acc = acc + jnp.dot(
+                    xt, wd, preferred_element_type=jnp.float32
+                )
     return acc
 
 
