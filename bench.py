@@ -241,6 +241,10 @@ def bench_paged(config, lanes=8, prompt_len=64, new_tokens=128):
     for s in busy:
         s.cancelled = True
     sched.run_to_completion()
+    import gc
+
+    del sched, engine, params  # free HBM before the long-ctx geometry
+    gc.collect()
     return (
         best, ttfts[len(ttfts) // 2], ttfts_cached[len(ttfts_cached) // 2]
     )
@@ -292,6 +296,10 @@ def bench_paged_longctx(config, lanes=8, ctx=2048, new_tokens=128):
         dt = _t.perf_counter() - t0
         total = sum(len(s.output_ids) for s in seqs) - done0
         best = max(best, total / dt)
+    import gc
+
+    del sched, engine, params
+    gc.collect()
     return best
 
 

@@ -692,7 +692,14 @@ class Scheduler:
         the old lanes fails (caller falls back to the flush path)."""
         e = self.engine
         b = e.num_lanes
-        n = self.decode_steps
+        # A SINGLE late joiner wakes in a 1-step chunk: its first token
+        # drains at the very next fetch instead of after a full
+        # decode_steps chunk (measured 228 -> ~130 ms cached under-load
+        # TTFT; the old lanes advance one token and the steady pipeline
+        # resumes at full depth — ~7 ms amortized). Burst admissions are
+        # a throughput situation and keep full-depth chunks (1-step
+        # chunks per wave cost ~12% aggregate in the 8-lane bench).
+        n = 1 if len(new) == 1 else self.decode_steps
         hold = self._inflight[1] if self._inflight else 0
         new_lanes = {lane for lane, _ in new}
         for lane, seq in self.running.items():
