@@ -326,14 +326,17 @@ def main():
         return
 
     # charter headline: Llama-3-8B INT4(g=64) decode + TTFT
+    # chunk=128: the depth-3 lookahead hides the per-chunk fetch RT
+    # fully at 128 steps (A/B'd: 64 -> 145.4, 128 -> 146.9 tok/s; deeper
+    # lookahead and larger chunks measured flat)
     tok8, bytes8, ttft8 = run_geometry(
-        llama3_8b_config(), steps=129, chunk=64, max_seq_len=1024,
+        llama3_8b_config(), steps=257, chunk=128, max_seq_len=1024,
         ttft_prompt=512,
     )
     roof8 = gbps * 1e9 / bytes8
     # config #1: Llama-3.2-1B
     tok1, bytes1, _ = run_geometry(
-        llama32_1b_config(), steps=257, chunk=64, max_seq_len=512,
+        llama32_1b_config(), steps=257, chunk=128, max_seq_len=512,
     )
     roof1 = gbps * 1e9 / bytes1
     # charter config #3: INT8 paged KV + continuous batching (8 lanes)

@@ -57,16 +57,18 @@ def main():
     model = LlamaModel(cfg)
     params = model.init_quantized_params(jax.random.PRNGKey(0), 64, 4)
     b = args.lanes
+    mpps = max(12, args.ctx // 64 + 3)
+    pages = max(args.pages, b * mpps + 8)
     eng = PagedEngine(
-        model, params, num_lanes=b, num_pages=args.pages,
-        max_pages_per_seq=12, kv_quantized=True,
+        model, params, num_lanes=b, num_pages=pages,
+        max_pages_per_seq=mpps, kv_quantized=True,
     )
     sched = Scheduler(eng, decode_steps=args.steps)
     prompt = list(range(1, 65))
 
     # stand up 8 decoding lanes through the real admission path.
     # max_new must FIT the per-seq page budget or admission errors out
-    budget = args.pages and (12 * 64 - len(prompt) - 8)
+    budget = mpps * 64 - len(prompt) - 8
     seqs = [
         sched.add_request(prompt, max_new_tokens=budget, temperature=0.0)
         for _ in range(b)
@@ -124,7 +126,10 @@ def main():
             jnp.full((n, eng.rider_width), -1, jnp.int32),
             zero((n,), jnp.int32), zero((n,), jnp.int32),
             zero((n, 1, 1), jnp.float32), zero((n,), bool),
+            jnp.full((n, 1, 1), -1, jnp.int32),  # pf_pos3
+            zero((b,), jnp.int32),  # pos_delta
             wake, zero((b,), jnp.int32), zero((b,), jnp.int32),
+            zero((b,), jnp.int32),  # wake_prod
             jnp.asarray(sched.histories),
             jnp.asarray(sched.bias_ids), jnp.asarray(sched.bias_vals),
             jnp.ones((1, 1), bool), zero((b,), bool),

@@ -83,7 +83,7 @@ class InferenceEngine:
         max_seq_len: int = 2048,
         kv_dtype=jnp.bfloat16,
         kv_quantized: bool = False,
-        decode_chunk: int = 16,
+        decode_chunk: int = 16,  # serving default; benchmarks use 64-128
         logprobs_k: int = 8,
         seed: int = 0,
         prompt_cache: bool = True,

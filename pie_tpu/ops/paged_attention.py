@@ -46,6 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from pie_tpu.cache.paged import PAGE_SIZE, fold_for, unpermute_page_scales
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+# page-walk DMA pipeline depth (in-flight page buffers); 4 hides the
+# per-page issue latency that capped the kernel at ~262 GB/s at 2k ctx
+PAGE_NBUF = int(__import__("os").environ.get("PIE_PAGED_NBUF", "4"))
 
 
 def decode_kernel_supported(d: int, hkv: int, quantized: bool) -> bool:
@@ -140,11 +143,11 @@ def _decode_kernel(
     # outputs
     out_ref,  # [1, Hq, D]
     # scratch
-    k_buf,  # [2, Hkv*rows, f*D]
+    k_buf,  # [NBUF, Hkv*rows, f*D] — NBUF-deep rotating page buffers
     v_buf,
-    ks_buf,  # [2, 1, S] f32
+    ks_buf,  # [NBUF, 1, S] f32
     vs_buf,
-    sems,  # DMA sems [2, 4]
+    sems,  # DMA sems [NBUF, 4]
     *,
     scale: float,
     num_kv_heads: int,
@@ -203,10 +206,17 @@ def _decode_kernel(
             ]
         return copies
 
-    @pl.when(num_pages > start_page)
-    def _():
-        for c in page_dma(start_page % 2, start_page):
-            c.start()
+    # keep NBUF-1 page DMAs in flight: at ~0.36 us of issue/wait latency
+    # per page (measured: 124 us for 240 x 128 KB pages = 262 GB/s at 2k
+    # ctx), 2-deep buffering serialized latency with compute; deeper
+    # buffering hides it behind the stream
+    nbuf = k_buf.shape[0]
+    for ahead in range(nbuf - 1):
+        @pl.when(num_pages > start_page + ahead)
+        def _(ahead=ahead):
+            for c in page_dma((start_page + ahead) % nbuf,
+                              start_page + ahead):
+                c.start()
 
     q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
     # one zero-padded query copy per lane-block phase: q at lanes j*D..
@@ -230,11 +240,11 @@ def _decode_kernel(
 
     def body(p, carry):
         m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,D]
-        slot = p % 2
+        slot = p % nbuf
 
-        @pl.when(p + 1 < num_pages)
+        @pl.when(p + nbuf - 1 < num_pages)
         def _():
-            for c in page_dma((p + 1) % 2, p + 1):
+            for c in page_dma((p + nbuf - 1) % nbuf, p + nbuf - 1):
                 c.start()
 
         for c in page_dma(slot, p):
@@ -357,11 +367,11 @@ def paged_attention_decode_stacked(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hr, fold * d), pool_k.dtype),
-            pltpu.VMEM((2, hr, fold * d), pool_k.dtype),
-            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
-            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
+            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((PAGE_NBUF, 4)),
         ],
     )
     kernel = functools.partial(
@@ -436,11 +446,11 @@ def paged_attention_decode(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hr, fold * d), pool_k_layer.dtype),
-            pltpu.VMEM((2, hr, fold * d), pool_k_layer.dtype),
-            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
-            pltpu.VMEM((2, 1, s if quantized else 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
+            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((PAGE_NBUF, 4)),
         ],
     )
     kernel = functools.partial(

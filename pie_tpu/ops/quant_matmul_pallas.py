@@ -150,6 +150,12 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
     # For large M (prefill) the post-scale would cost ops on [bm, bn] per
     # group, so dequantize per-element instead (MXU-bound there anyway).
     post_scale = bm <= 32 and g >= 64
+    # Round-5 negative result: removing the bias stream + bias dot
+    # ENTIRELY (hardware probe) saved only 136 us of the 6423 us 8B
+    # decode step (2.1%), so merging scales+biases into one interleaved
+    # operand to halve the side-stream DMA count cannot buy more than
+    # ~1% — not worth the storage-layout change. The packed stream and
+    # its VPU/MXU consumption set the plateau.
 
     for t in range(n_tiles):
         s32 = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
