@@ -342,7 +342,33 @@ void test_concurrent_submit() {
 
 }  // namespace
 
+// Driver-initiated finish: the constrained-decoding hook stops a live
+// lane with STOP (machine complete) or MACHINE_ERROR (token rejected);
+// already-finished / unknown ids are no-ops.
+void test_finish_external() {
+  Scheduler s(small_cfg());
+  StopCriteria stop;
+  stop.max_generated_tokens = 16;
+  const uint64_t id = s.submit({5, 6, 7}, {}, {}, stop);
+  // advance one step so the sequence holds a lane
+  s.begin_step();
+  PrefillChunk c;
+  while (s.next_prefill(&c)) {
+    if (c.is_last) s.commit_first(c.lane, 99);
+  }
+  assert(s.num_running() == 1);
+  assert(s.finish_external(id, FinishReason::STOP));
+  assert(!s.finish_external(id, FinishReason::MACHINE_ERROR));  // done
+  assert(!s.finish_external(424242, FinishReason::STOP));       // unknown
+  FinishedSeq fin[4];
+  assert(s.pop_finished(fin, 4) == 1);
+  assert(fin[0].reason == FinishReason::STOP);
+  assert(s.num_free_pages() == small_cfg().num_pages);
+  s.release(id);
+}
+
 int main() {
+  test_finish_external();
   test_basic_lifecycle();
   test_stop_token();
   test_chunked_prefill();
