@@ -469,7 +469,15 @@ class Scheduler:
         # the emitted array alone reconstructs them exactly (every active
         # step emits a non-PAD token).
         self._dev_state = None  # (last, ctx, hist, done, prod) on device
-        self._inflight = None  # (emitted device array, n)
+        # steady-state chunks IN FLIGHT, oldest first: each entry is
+        # (emitted device array, n). Depth 1 measured BEST on hardware:
+        # the drain of chunk k already overlaps chunk k+1's device time
+        # (dispatch precedes the fetch), so deeper queues bought no
+        # aggregate (490.8 vs 490.8 tok/s at depth 3) while a late
+        # joiner had to flush the whole queue (TTFT under load 236 ->
+        # 463 ms). The queue form is kept so the depth is a knob.
+        self._inflight = deque()
+        self.pipeline_depth = 1
 
     # -- public API ------------------------------------------------------
 
@@ -487,6 +495,11 @@ class Scheduler:
     @property
     def has_work(self) -> bool:
         return bool(self.waiting or self.running or self._inflight)
+
+    @property
+    def _hold(self) -> int:
+        """Device steps already dispatched but not yet drained."""
+        return sum(n for _, n in self._inflight)
 
     def run_to_completion(self, max_steps: int = 100000) -> None:
         for _ in range(max_steps):
@@ -543,26 +556,26 @@ class Scheduler:
         )
         if steady:
             n = self.decode_steps
-            hold = self._inflight[1] if self._inflight else 0
             ok = True
-            for lane, seq in self.running.items():
-                if not self.manager.extend_seq(
-                    seq.seq_id, int(self.context_lens[lane]) + hold + n
-                ):
-                    ok = False
-                    break
-                self._sync_table(lane, seq)
-            if ok:
-                emitted = self._dispatch_steady(n)
-                finished = self._drain_inflight()
-                self._inflight = (emitted, n)
-                return finished
+            while ok and len(self._inflight) < self.pipeline_depth:
+                hold = self._hold
+                for lane, seq in self.running.items():
+                    if not self.manager.extend_seq(
+                        seq.seq_id, int(self.context_lens[lane]) + hold + n
+                    ):
+                        ok = False
+                        break
+                    self._sync_table(lane, seq)
+                if ok:
+                    self._inflight.append((self._dispatch_steady(n), n))
+            if self._inflight:
+                return self._drain_inflight()
         # Admission + direct prefill BEFORE the pipeline flush: new lanes
         # only touch free lanes and the pool, and their prefill programs
         # chain on the donated pool AFTER the in-flight chunk — so their
         # device compute overlaps the drain's host round trip instead of
         # starting after it (TTFT-under-load, round-4 verdict weak #5).
-        if self._inflight is not None and self.waiting:
+        if self._inflight and self.waiting:
             clean = bool(self.running) and all(
                 s.status == SeqStatus.DECODING and s.machine is None
                 and not s.cancelled
@@ -591,7 +604,9 @@ class Scheduler:
                     if out is not None:
                         return out
         # pipeline flush: exact host mirrors before any planning
-        finished_prev = self._drain_inflight()
+        finished_prev = []
+        while self._inflight:
+            finished_prev.extend(self._drain_inflight())
         self._dev_state = None
         self._admit()
         self._direct_prefill()
@@ -700,7 +715,7 @@ class Scheduler:
         # a throughput situation and keep full-depth chunks (1-step
         # chunks per wave cost ~12% aggregate in the 8-lane bench).
         n = 1 if len(new) == 1 else self.decode_steps
-        hold = self._inflight[1] if self._inflight else 0
+        hold = self._hold
         new_lanes = {lane for lane, _ in new}
         for lane, seq in self.running.items():
             if lane in new_lanes:
@@ -794,9 +809,11 @@ class Scheduler:
             use_rider=not hasattr(e.model, "paged_forward"),
             use_bias=bool((self.bias_ids >= 0).any()),
         )
-        finished = self._drain_inflight()
+        finished = []
+        while self._inflight:
+            finished.extend(self._drain_inflight())
         self._dev_state = (last, ctx, hist, done, prod)
-        self._inflight = (emitted, n)
+        self._inflight.append((emitted, n))
         return finished
 
     def _drain_inflight(self) -> list[Sequence]:
@@ -804,10 +821,9 @@ class Scheduler:
         reconstruct the host mirrors exactly: every active device step
         emitted a non-PAD token, so per-lane counts recover ctx/produced
         and the token values recover last/history."""
-        if self._inflight is None:
+        if not self._inflight:
             return []
-        emitted_dev, n = self._inflight
-        self._inflight = None
+        emitted_dev, n = self._inflight.popleft()
         emitted = np.asarray(emitted_dev)  # [n, B]
         h = self.engine.history_len
         for lane in range(self.engine.num_lanes):
