@@ -303,6 +303,47 @@ def bench_paged_longctx(config, lanes=8, ctx=2048, new_tokens=128):
     return best
 
 
+def measure_hbm_gbps() -> float:
+    """Device-timed sustained HBM read rate of THIS run's chip window.
+
+    An XLA column-reduce over 2 GiB is a pure stream; nothing in the
+    machine reads weights faster (benchmarks/hbm_peak.py: every access
+    pattern tops out at ~747-757 GB/s vs the 819 spec, i.e. the practical
+    ceiling is ~92% of spec and drifts with the shared-chip regime).
+    Wall-clock through the dispatch tunnel is untrustworthy, so the time
+    comes from a profiler trace's device lanes."""
+    import glob
+    import gzip
+    import os
+    import tempfile
+
+    import numpy as np
+
+    x = jax.block_until_ready(jnp.ones((262144, 2048), jnp.float32))
+    red = jax.jit(lambda a: jnp.sum(a, axis=0))
+    jax.block_until_ready(red(x))
+    td = tempfile.mkdtemp(prefix="jaxtrace_")
+    reps = 4
+    with jax.profiler.trace(td):
+        for _ in range(reps):
+            jax.block_until_ready(red(x))
+    total = {}
+    for p in glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                       recursive=True):
+        with gzip.open(p, "rt") as f:
+            data = json.load(f)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "X":
+                total[ev.get("name", "?")] = (
+                    total.get(ev.get("name", "?"), 0.0) + ev.get("dur", 0.0)
+                )
+    if not total:
+        return 0.0
+    us = max(total.values()) / reps
+    del x
+    return 262144 * 2048 * 4 / us / 1e3
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     gbps = HBM_GBPS.get("v5e", 819.0)
@@ -324,6 +365,13 @@ def main():
         }
         print(json.dumps(out))
         return
+
+    # the chip window's actual sustained stream rate (~92% of the 819
+    # spec, regime-dependent): reported alongside so vs_baseline (which
+    # stays spec-based) can be read against what the silicon allowed
+    hbm_meas = measure_hbm_gbps()
+    log(f"bench: measured HBM stream {hbm_meas:.0f} GB/s "
+        f"(spec {gbps:.0f})")
 
     # charter headline: Llama-3-8B INT4(g=64) decode + TTFT
     # chunk=128: the depth-3 lookahead hides the per-chunk fetch RT
@@ -360,6 +408,10 @@ def main():
             "8b_ttft_under_load_p50_ms": round(ttft_load * 1e3, 1),
             "8b_ttft_under_load_cached_p50_ms": round(ttft_cached * 1e3, 1),
             "8b_paged8_ctx2k_tok_s": round(paged2k_tok, 2),
+            "hbm_measured_gbps": round(hbm_meas, 1),
+            "8b_vs_measured_hbm": (
+                round(tok8 / (hbm_meas * 1e9 / bytes8), 4) if hbm_meas else None
+            ),
         },
     }
     print(json.dumps(out))

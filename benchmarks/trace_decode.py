@@ -63,6 +63,13 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument(
+        "--kind", default="greedy",
+        help="sampler_kind for the contiguous path (greedy matches what the "
+             "engine statically selects for temperature=0 benches; 'auto' "
+             "adds a lax.cond + full-sampling branch the bench never runs)",
+    )
+    ap.add_argument("--kv-bucket", type=int, default=256)
+    ap.add_argument(
         "--tiles", default="",
         help="decode tile overrides: k,n,bn,bk[;k,n,bn,bk...] — in-model "
              "per-kernel A/B via the trace rows",
@@ -142,6 +149,7 @@ def main():
             st, outs = core._decode(
                 params, box["state"], sampling, penalties, bias_ids,
                 bias_vals, stop_ids, num_steps=args.steps,
+                sampler_kind=args.kind, kv_bucket=args.kv_bucket,
             )
             box["state"] = st
             return outs

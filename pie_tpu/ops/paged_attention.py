@@ -46,9 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 from pie_tpu.cache.paged import PAGE_SIZE, fold_for, unpermute_page_scales
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-# page-walk DMA pipeline depth (in-flight page buffers); 4 hides the
+# page-walk DMA pipeline depth (in-flight iteration buffers); 4 hides the
 # per-page issue latency that capped the kernel at ~262 GB/s at 2k ctx
 PAGE_NBUF = int(__import__("os").environ.get("PIE_PAGED_NBUF", "4"))
+# pages processed per walk iteration: amortizes the fori_loop scalar work,
+# semaphore waits and online-softmax passes over PPI pages and deepens the
+# score/PV dots. Same-process A/B at 8 lanes / 2k ctx (ab_paged.py):
+# ppi=2 +0.50%, ppi=4 +0.54% vs ppi=1 — NBUF=4 rotating buffers already
+# hide the per-page issue latency, and the deeper dots buy nothing the
+# stream doesn't. Default stays 1; the generalized walk is kept (parity-
+# tested at ppi 2/3/4) for geometries with smaller pages.
+PAGE_PPI = int(__import__("os").environ.get("PIE_PAGED_PPI", "1"))
 
 
 def decode_kernel_supported(d: int, hkv: int, quantized: bool) -> bool:
@@ -162,7 +170,7 @@ def _decode_kernel(
     win = window_ref[0]
     # first kv position a windowed query may attend (window covers the
     # query itself at ctx-1: positions >= ctx - win); page walk starts at
-    # its page so out-of-window pages are never DMA'd
+    # its iteration so out-of-window pages are (mostly) never DMA'd
     lo = jnp.where(win > 0, jnp.maximum(ctx_len - win, 0), 0)
     start_page = lo // PAGE_SIZE
     d = q_ref.shape[-1]
@@ -170,6 +178,9 @@ def _decode_kernel(
     rows = PAGE_SIZE // fold
     hr = num_kv_heads * rows  # columns per phase
     s = fold * hr  # total score columns per page (= Hkv*PAGE)
+    ppi = k_buf.shape[1]  # pages per walk iteration
+    it0 = start_page // ppi
+    n_iters = pl.cdiv(num_pages, ppi)
 
     def pool_at(ref, phys):
         # stacked pools arrive as a FLAT [L*P, ...] view and are indexed
@@ -183,39 +194,46 @@ def _decode_kernel(
             return ref.at[layer_ref[0] * p + phys]
         return ref.at[phys]
 
-    def page_dma(slot, logical_page):
-        phys = block_tables_ref[b, logical_page]
-        copies = [
-            pltpu.make_async_copy(
-                pool_at(k_pool_ref, phys), k_buf.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                pool_at(v_pool_ref, phys), v_buf.at[slot], sems.at[slot, 1]
-            ),
-        ]
-        if quantized:
+    def iter_dma(slot, it):
+        # DMA the iteration's PPI pages; tail sub-pages past the last page
+        # clamp to the last valid page (their scores are masked out), so
+        # every iteration issues a uniform set of copies
+        copies = []
+        for j in range(ppi):
+            lp = jnp.minimum(it * ppi + j, num_pages - 1)
+            phys = jnp.maximum(block_tables_ref[b, lp], 0)
             copies += [
                 pltpu.make_async_copy(
-                    pool_at(ks_pool_ref, phys), ks_buf.at[slot],
-                    sems.at[slot, 2]
+                    pool_at(k_pool_ref, phys), k_buf.at[slot, j],
+                    sems.at[slot, j, 0]
                 ),
                 pltpu.make_async_copy(
-                    pool_at(vs_pool_ref, phys), vs_buf.at[slot],
-                    sems.at[slot, 3]
+                    pool_at(v_pool_ref, phys), v_buf.at[slot, j],
+                    sems.at[slot, j, 1]
                 ),
             ]
+            if quantized:
+                copies += [
+                    pltpu.make_async_copy(
+                        pool_at(ks_pool_ref, phys), ks_buf.at[slot, j],
+                        sems.at[slot, j, 2]
+                    ),
+                    pltpu.make_async_copy(
+                        pool_at(vs_pool_ref, phys), vs_buf.at[slot, j],
+                        sems.at[slot, j, 3]
+                    ),
+                ]
         return copies
 
-    # keep NBUF-1 page DMAs in flight: at ~0.36 us of issue/wait latency
-    # per page (measured: 124 us for 240 x 128 KB pages = 262 GB/s at 2k
-    # ctx), 2-deep buffering serialized latency with compute; deeper
+    # keep NBUF-1 iteration DMAs in flight: at ~0.36 us of issue/wait
+    # latency per page (measured: 124 us for 240 x 128 KB pages = 262 GB/s
+    # at 2k ctx), 2-deep buffering serialized latency with compute; deeper
     # buffering hides it behind the stream
     nbuf = k_buf.shape[0]
     for ahead in range(nbuf - 1):
-        @pl.when(num_pages > start_page + ahead)
+        @pl.when(it0 + ahead < n_iters)
         def _(ahead=ahead):
-            for c in page_dma((start_page + ahead) % nbuf,
-                              start_page + ahead):
+            for c in iter_dma((it0 + ahead) % nbuf, it0 + ahead):
                 c.start()
 
     q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
@@ -227,67 +245,83 @@ def _decode_kernel(
         for j in range(fold)
     ]  # each [Hq, f*D]
 
-    # loop-invariant mask pieces over the [Hq, S] score tile:
-    # column -> (phase j, kv head h, packed row t2); token pos within page
-    # = t2*fold + j; row -> its kv head hq_row // rep.
-    col = jax.lax.broadcasted_iota(jnp.int32, (hq, s), 1)
-    jph = col // hr
-    rem = col - jph * hr
+    # loop-invariant mask pieces over the PAGE-MAJOR [Hq, PPI*S] score
+    # tile: column -> (page pg, phase j, kv head h, packed row t2); token
+    # pos relative to the iteration base = pg*PAGE + t2*fold + j; row ->
+    # its kv head hq_row // rep.
+    col = jax.lax.broadcasted_iota(jnp.int32, (hq, ppi * s), 1)
+    pg = col // s
+    cc = col - pg * s
+    jph = cc // hr
+    rem = cc - jph * hr
     h_col = rem // rows
-    in_page_pos = (rem - h_col * rows) * fold + jph  # [Hq, S]
-    h_row = jax.lax.broadcasted_iota(jnp.int32, (hq, s), 0) // rep
+    rel_pos = pg * PAGE_SIZE + (rem - h_col * rows) * fold + jph
+    h_row = jax.lax.broadcasted_iota(jnp.int32, (hq, ppi * s), 0) // rep
     head_ok = h_col == h_row
 
-    def body(p, carry):
+    def body(it, carry):
         m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,D]
-        slot = p % nbuf
+        slot = it % nbuf
 
-        @pl.when(p + nbuf - 1 < num_pages)
+        @pl.when(it + nbuf - 1 < n_iters)
         def _():
-            for c in page_dma((p + nbuf - 1) % nbuf, p + nbuf - 1):
+            for c in iter_dma((it + nbuf - 1) % nbuf, it + nbuf - 1):
                 c.start()
 
-        for c in page_dma(slot, p):
+        for c in iter_dma(slot, it):
             c.wait()
 
-        kp = k_buf[slot].astype(jnp.float32)  # [hr, f*D]
-        scores = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qj, kp, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for qj in q_phases
-            ],
-            axis=1,
-        )  # [Hq, S]
+        if fold == 1:
+            # one deep dot over all PPI pages: the flat [PPI*hr, D] view
+            # of the slot's buffer has rows in (page, head, token) order —
+            # exactly the page-major score-column order
+            kp = k_buf[slot].reshape(ppi * hr, fold * d).astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, PPI*S]
+        else:
+            parts = []
+            for j in range(ppi):
+                kp = k_buf[slot, j].astype(jnp.float32)  # [hr, f*D]
+                parts += [
+                    jax.lax.dot_general(
+                        qj, kp, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for qj in q_phases
+                ]
+            scores = jnp.concatenate(parts, axis=1)  # [Hq, PPI*S]
         if quantized:
-            scores = scores * ks_buf[slot]  # [1, S] broadcast
-        page0 = p * PAGE_SIZE
+            # [PPI, 1, S] -> [1, PPI*S]: page-major flat, matches columns
+            scores = scores * ks_buf[slot].reshape(1, ppi * s)
+        base0 = it * ppi * PAGE_SIZE
         valid = (
             head_ok
-            & (in_page_pos < ctx_len - page0)
-            & (in_page_pos >= lo - page0)
+            & (rel_pos < ctx_len - base0)
+            & (rel_pos >= lo - base0)
         )
         scores = jnp.where(valid, scores, NEG_INF)
 
         page_m = jnp.max(scores, axis=-1, keepdims=True)  # [Hq, 1]
         new_m = jnp.maximum(m, page_m)
         alpha = jnp.exp(m - new_m)
-        probs = jnp.exp(scores - new_m)  # [Hq, S]
+        probs = jnp.exp(scores - new_m)  # [Hq, PPI*S]
         new_l = l * alpha + jnp.sum(probs, axis=-1, keepdims=True)
         if quantized:
-            probs = probs * vs_buf[slot]
-        vp = v_buf[slot].astype(jnp.float32)  # [hr, f*D]
-        contrib = jnp.zeros((hq, d), jnp.float32)
-        for j in range(fold):
-            pj = (
-                probs[:, j * hr:(j + 1) * hr] if fold > 1 else probs
-            )  # [Hq, hr]
-            oj = jnp.dot(pj, vp, preferred_element_type=jnp.float32)
-            contrib = contrib + (
-                oj[:, j * d:(j + 1) * d] if fold > 1 else oj
-            )
+            probs = probs * vs_buf[slot].reshape(1, ppi * s)
+        if fold == 1:
+            vp = v_buf[slot].reshape(ppi * hr, fold * d).astype(jnp.float32)
+            contrib = jnp.dot(probs, vp, preferred_element_type=jnp.float32)
+        else:
+            contrib = jnp.zeros((hq, d), jnp.float32)
+            for pj_idx in range(ppi):
+                vp = v_buf[slot, pj_idx].astype(jnp.float32)  # [hr, f*D]
+                for j in range(fold):
+                    pj = probs[:, pj_idx * s + j * hr:
+                               pj_idx * s + (j + 1) * hr]  # [Hq, hr]
+                    oj = jnp.dot(pj, vp, preferred_element_type=jnp.float32)
+                    contrib = contrib + oj[:, j * d:(j + 1) * d]
         new_acc = acc * alpha + contrib
         return new_m, new_l, new_acc
 
@@ -296,7 +330,7 @@ def _decode_kernel(
         jnp.zeros((hq, 1), jnp.float32),
         jnp.zeros((hq, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(start_page, num_pages, body, init)
+    m, l, acc = jax.lax.fori_loop(it0, n_iters, body, init)
     out = acc / jnp.maximum(l, 1e-30)
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -367,11 +401,17 @@ def paged_attention_decode_stacked(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k.dtype),
-            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k.dtype),
-            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
-            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((PAGE_NBUF, 4)),
+            pltpu.VMEM((PAGE_NBUF, PAGE_PPI, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM((PAGE_NBUF, PAGE_PPI, hr, fold * d), pool_k.dtype),
+            pltpu.VMEM(
+                (PAGE_NBUF, PAGE_PPI, 1, s if quantized else 128),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (PAGE_NBUF, PAGE_PPI, 1, s if quantized else 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((PAGE_NBUF, PAGE_PPI, 4)),
         ],
     )
     kernel = functools.partial(
@@ -446,11 +486,17 @@ def paged_attention_decode(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k_layer.dtype),
-            pltpu.VMEM((PAGE_NBUF, hr, fold * d), pool_k_layer.dtype),
-            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
-            pltpu.VMEM((PAGE_NBUF, 1, s if quantized else 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((PAGE_NBUF, 4)),
+            pltpu.VMEM((PAGE_NBUF, PAGE_PPI, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM((PAGE_NBUF, PAGE_PPI, hr, fold * d), pool_k_layer.dtype),
+            pltpu.VMEM(
+                (PAGE_NBUF, PAGE_PPI, 1, s if quantized else 128),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (PAGE_NBUF, PAGE_PPI, 1, s if quantized else 128),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((PAGE_NBUF, PAGE_PPI, 4)),
         ],
     )
     kernel = functools.partial(

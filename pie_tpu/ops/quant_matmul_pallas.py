@@ -70,11 +70,23 @@ DECODE_BK = 2048
 # measured neutral-to-slightly-worse (6.755 vs 6.685 ms/tok paired) —
 # back-to-back scan timing lets consecutive calls overlap in ways the
 # real decode program (kernels interleaved with attention/cache ops)
-# does not. Keep the table empty until an in-model paired win exists.
+# does not. Round-5 re-test with the decode-aware VMEM model unlocked
+# bn=4096 blocks (ab_decode, same-process): wgu/wd at 4096x2048 read
+# +0.09% and adding wqkv/wo overrides +0.41% — worse again. The defaults
+# stand; keep the table empty until an in-model paired win exists.
 DECODE_TILES: dict = {}
 # scoped-VMEM budget for tile selection: 16 MB hardware limit less slack
 # for Mosaic's own scratch
 VMEM_BUDGET = 14 * 1024 * 1024
+# stacked-weight rms-norm prologue: select the layer's ln row via the
+# scalar-prefetched block index map (1) vs an XLA dynamic-slice launch per
+# layer outside the kernel (0). Same-process A/B on 8B decode (ab_decode):
+# the BlockSpec route is 1.5% SLOWER (6800 vs 6698 us/step, both reps
+# within 1 us) — a scalar-prefetch-dependent index map defeats Mosaic's
+# revisited-block caching, so the 8 KB ln row is re-DMA'd every grid step
+# of both ln-carrying kernels, costing more than the two XLA slice
+# launches it removes. Default stays 0.
+LN_BLOCKSPEC = int(__import__("os").environ.get("PIE_LN_BLOCKSPEC", "0"))
 
 
 def _tile_vmem_bytes(bm: int, bn: int, bk: int, ep: int, g: int) -> int:
@@ -84,10 +96,16 @@ def _tile_vmem_bytes(bm: int, bn: int, bk: int, ep: int, g: int) -> int:
     x = bm * bk * 2 * 2
     acc = bm * bn * 4
     out = bm * bn * 2 * 2
-    # VPU temporaries of the per-element dequant (plane codes + the
-    # concatenated [512, bn] bf16 tile); measured: bn=2048 prefill tiles
-    # exceed the 16 MB scoped limit without this term
-    temps = PACK_TILE_K * bn * 2 * 3
+    if bm <= 32 and g >= 64:
+        # decode post-scale path (_accum_block): codes stay per-plane
+        # [128, bn] bf16 and dot unscaled — only a few plane-sized
+        # temporaries are ever live, so bn=4096 decode tiles fit
+        temps = 128 * bn * 2 * 4
+    else:
+        # prefill dequantizes per-element and concatenates the full
+        # [512, bn] bf16 tile; measured: bn=2048 prefill tiles exceed the
+        # 16 MB scoped limit without this term
+        temps = PACK_TILE_K * bn * 2 * 3
     return packed + scales + x + acc + out + temps
 
 
@@ -253,7 +271,14 @@ def _kernel(x_ref, packed_ref, scales_ref, biases_ref, out_ref, acc_ref, *,
             jnp.sum(xf * xf, axis=-1, keepdims=True) / ln_k + ln_eps
         )
         xsl = x_ref[:, pl.ds(kk * bk, bk)].astype(jnp.float32)
-        wsl = lnw_ref[0, pl.ds(kk * bk, bk)].astype(jnp.float32)
+        # stacked path delivers a [1, 1, kpad] layer-indexed block (3D:
+        # Mosaic forbids slicing the size-1 sublane dim of the ref, so
+        # load through full indices instead)
+        wsl = (
+            lnw_ref[0, 0, pl.ds(kk * bk, bk)]
+            if len(lnw_ref.shape) == 3
+            else lnw_ref[0, pl.ds(kk * bk, bk)]
+        ).astype(jnp.float32)
         xb = (xsl * inv * wsl[None, :]).astype(jnp.bfloat16)
     else:
         xb = x_ref[:].astype(jnp.bfloat16)
@@ -464,11 +489,16 @@ def quant_matmul_stacked(
         assert decode, "ln prologue is decode-only (full-row x block)"
         if ln_w.shape[-1] < kpad:
             ln_w = jnp.pad(ln_w, ((0, 0), (0, kpad - ln_w.shape[-1])))
-        # select the layer's row OUTSIDE the kernel (a 16 KB XLA slice):
-        # a [L, 1, Kp] bf16 operand sliced at[layer] inside trips Mosaic's
-        # sublane tiling ("slice along dim 1 must be aligned to tiling"),
-        # while a [1, Kp] block equal to its array is always legal
-        ln_w = jax.lax.dynamic_index_in_dim(ln_w, layer, 0, keepdims=True)
+        # the layer's row is selected by the BLOCK index map from the
+        # scalar-prefetched layer id ((1, 1, kpad) block of the stacked
+        # [L, 1, Kp] view: trailing block dims equal the array dims, which
+        # Mosaic requires) — no XLA slice launch per layer. NOTE: in-kernel
+        # ref slicing (.at[l] on a [L, 1, Kp] operand) trips Mosaic's
+        # sublane tiling; block-level indexing does not.
+        if LN_BLOCKSPEC:
+            ln_w = ln_w.reshape(ln_w.shape[0], 1, kpad)
+        else:  # A/B fallback: slice outside the kernel
+            ln_w = jax.lax.dynamic_index_in_dim(ln_w, layer, 0, keepdims=True)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(kpad, bk))
     kernel = functools.partial(
@@ -498,9 +528,12 @@ def quant_matmul_stacked(
         ]
         operands += [rope_cs[0], rope_cs[1]]
     if use_ln:
-        in_specs += [
-            pl.BlockSpec((1, kpad), lambda i, j, k, s: (0, 0)),
-        ]
+        if LN_BLOCKSPEC:
+            in_specs += [
+                pl.BlockSpec((1, 1, kpad), lambda i, j, k, s: (s[0], 0, 0))
+            ]
+        else:
+            in_specs += [pl.BlockSpec((1, kpad), lambda i, j, k, s: (0, 0))]
         operands += [ln_w]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
