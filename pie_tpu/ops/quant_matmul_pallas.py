@@ -175,9 +175,24 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
     # ~1% — not worth the storage-layout change. The packed stream and
     # its VPU/MXU consumption set the plateau.
 
-    for t in range(n_tiles):
+    if bits == 4:
+        plane_sets = ((0, 16.0),)
+    else:
+        plane_sets = ((0, 16.0), (64, 256.0))
+    spp = max(1, 128 // g)  # scale rows per 128-row plane
+
+    def tile_scales(t):
         s32 = scales_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
         b32 = biases_ref[t * gpt:(t + 1) * gpt, :].astype(jnp.float32)
+        if bits == 4:
+            # kernel codes are t = 1 + n/16: w = n*s + b = 16s*t + (b - 16s)
+            b_eff = b32 - 16.0 * s32
+        else:
+            # n = lo + 16*hi: w = 16s*t_lo + 256s*t_hi + (b - 272 s)
+            b_eff = b32 - 272.0 * s32
+        return s32, b_eff
+
+    def bias_dot(t, s32, b_eff, acc):
         # per-group sums of x for the bias dot: [bm, gpt]
         xt_f32 = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K].astype(
             jnp.float32
@@ -189,26 +204,20 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
             ],
             axis=1,
         )
-        if bits == 4:
-            # kernel codes are t = 1 + n/16: w = n*s + b = 16s*t + (b - 16s)
-            b_eff = b32 - 16.0 * s32
-            plane_sets = ((0, 16.0),)
-        else:
-            # n = lo + 16*hi: w = 16s*t_lo + 256s*t_hi + (b - 272 s)
-            b_eff = b32 - 272.0 * s32
-            plane_sets = ((0, 16.0), (64, 256.0))
         # HIGHEST precision: this f32 dot must not drop to a single bf16
         # MXU pass — b_eff carries the 16s offset correction whose bf16
         # rounding would put ~0.03*scale of noise on every weight
-        acc = acc + jnp.dot(
+        return acc + jnp.dot(
             xg, b_eff, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-        for row0, smul in plane_sets:
-            pk = packed_ref[t * wrows + row0: t * wrows + row0 + 64, :]
-            spp = max(1, 128 // g)  # scale rows per 128-row plane
-            if post_scale:
+    if post_scale:
+        for t in range(n_tiles):
+            s32, b_eff = tile_scales(t)
+            acc = bias_dot(t, s32, b_eff, acc)
+            for row0, smul in plane_sets:
+                pk = packed_ref[t * wrows + row0: t * wrows + row0 + 64, :]
                 s_eff = s32 * smul  # [gpt, bn] f32
                 for j in range(4):
                     codes = _plane_codes(pk, j)  # [128, bn] bf16, 1 + n/16
@@ -221,29 +230,44 @@ def _accum_block(xb, packed_ref, scales_ref, biases_ref, acc, *,
                             preferred_element_type=jnp.float32,
                         )
                         acc = acc + part * s_eff[grow][None, :]
-            else:
-                s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
-                planes = []
-                for j in range(4):
-                    codes = _plane_codes(pk, j)
-                    if g >= 128:
-                        srow = s128[(128 * j) // g][None, :]
-                        planes.append(codes * srow)
-                    else:
-                        srep = _row_repeat(
-                            s128[j * spp:(j + 1) * spp, :], g
-                        )  # [128, bn]
-                        planes.append(codes * srep)
-                # ONE deep dot per 512-row tile instead of four K=128
-                # dots: shallow per-plane dots left the MXU at ~19%
-                # utilization on prefill (measured 96 ms for an M=256
-                # 8B pass vs the ~20 ms flops bound); a K=512 dot
-                # amortizes the systolic fill across the tile
-                wd = jnp.concatenate(planes, axis=0)  # [512, bn]
-                xt = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K]
-                acc = acc + jnp.dot(
-                    xt, wd, preferred_element_type=jnp.float32
-                )
+        return acc
+
+    # Prefill (large M): dequantize per-element, then ONE deep dot per
+    # 512-row tile — shallow per-plane dots left the MXU at ~19%
+    # utilization; a K=512 dot amortizes the systolic fill. KNOWN CEILING
+    # (round-5 trace): all four prefill matmuls sit at ~35% MXU, exactly
+    # the serial-VPU-then-MXU model (dequant ~1.8 us/tile + dot ~2
+    # us/tile). Emitting tile t+1's dequant BEFORE tile t's dot in
+    # program order was A/B'd on hardware and produced a bit-identical
+    # optimized program — XLA/Mosaic scheduling is jaxpr-order-invariant,
+    # so the VPU/MXU serialization is the Mosaic scheduler's choice and
+    # not addressable from this level.
+    def prep(t):
+        s32, b_eff = tile_scales(t)
+        wds = []
+        for row0, smul in plane_sets:
+            pk = packed_ref[t * wrows + row0: t * wrows + row0 + 64, :]
+            s128 = (s32 * smul).astype(jnp.bfloat16)  # [gpt, bn]
+            planes = []
+            for j in range(4):
+                codes = _plane_codes(pk, j)
+                if g >= 128:
+                    srow = s128[(128 * j) // g][None, :]
+                    planes.append(codes * srow)
+                else:
+                    srep = _row_repeat(
+                        s128[j * spp:(j + 1) * spp, :], g
+                    )  # [128, bn]
+                    planes.append(codes * srep)
+            wds.append(jnp.concatenate(planes, axis=0))  # [512, bn]
+        return s32, b_eff, wds
+
+    for t in range(n_tiles):
+        s32, b_eff, wds = prep(t)
+        acc = bias_dot(t, s32, b_eff, acc)
+        xt = xb[:, t * PACK_TILE_K:(t + 1) * PACK_TILE_K]
+        for wd in wds:
+            acc = acc + jnp.dot(xt, wd, preferred_element_type=jnp.float32)
     return acc
 
 
