@@ -332,11 +332,23 @@ def measure_hbm_gbps() -> float:
                        recursive=True):
         with gzip.open(p, "rt") as f:
             data = json.load(f)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X":
-                total[ev.get("name", "?")] = (
-                    total.get(ev.get("name", "?"), 0.0) + ev.get("dur", 0.0)
-                )
+        events = data.get("traceEvents", [])
+        # DEVICE lanes only: without this filter a long host span wins
+        # the max and the number is garbage
+        dev_pids = set()
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                name = ev.get("args", {}).get("name", "")
+                if "TPU" in name or "device" in name.lower():
+                    dev_pids.add(ev.get("pid"))
+        for ev in events:
+            if ev.get("ph") != "X":
+                continue
+            if dev_pids and ev.get("pid") not in dev_pids:
+                continue
+            total[ev.get("name", "?")] = (
+                total.get(ev.get("name", "?"), 0.0) + ev.get("dur", 0.0)
+            )
     if not total:
         return 0.0
     us = max(total.values()) / reps
