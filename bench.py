@@ -424,6 +424,9 @@ def main():
             "8b_vs_measured_hbm": (
                 round(tok8 / (hbm_meas * 1e9 / bytes8), 4) if hbm_meas else None
             ),
+            "1b_vs_measured_hbm": (
+                round(tok1 / (hbm_meas * 1e9 / bytes1), 4) if hbm_meas else None
+            ),
         },
     }
     print(json.dumps(out))
