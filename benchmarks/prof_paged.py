@@ -119,9 +119,7 @@ def main():
             chunk_args["done"], chunk_args["produced"],
             chunk_args["max_new"], chunk_args["stop_ids"],
             sampling,
-            jnp.asarray(sched.pen["repetition"]),
-            jnp.asarray(sched.pen["presence"]),
-            jnp.asarray(sched.pen["frequency"]),
+            sched._pen_params(),
             jnp.full((n, eng.rider_width), -1, jnp.int32),
             jnp.full((n, eng.rider_width), -1, jnp.int32),
             zero((n,), jnp.int32), zero((n,), jnp.int32),

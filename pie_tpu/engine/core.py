@@ -26,6 +26,7 @@ from pie_tpu.cache.kv_cache import make_kv_cache
 from pie_tpu.ops.sampling import (
     SamplingParams,
     apply_logit_bias,
+    dry_penalty,
     presence_frequency_penalty,
     repetition_penalty,
     sample,
@@ -37,18 +38,42 @@ PAD_TOKEN = -1
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("repetition", "presence", "frequency"),
+    data_fields=(
+        "repetition", "presence", "frequency",
+        "dry_multiplier", "dry_base", "dry_allowed",
+    ),
     meta_fields=(),
 )
 @dataclasses.dataclass(frozen=True)
 class PenaltyParams:
     """Per-sequence logits-processor parameters [B] (reference
     include/sequence/logits_params.hpp:11-17; repetition context windowing
-    per logits_processors/repetition.py:6-25)."""
+    per logits_processors/repetition.py:6-25; dry_* implement the DRY
+    sequence-repetition penalty the reference stubbed at samplers/dry.py
+    — a 0-byte placeholder — see ops/sampling.py:dry_penalty)."""
 
     repetition: jax.Array
     presence: jax.Array
     frequency: jax.Array
+    dry_multiplier: jax.Array = None
+    dry_base: jax.Array = None
+    dry_allowed: jax.Array = None
+
+    def __post_init__(self):
+        # older call sites construct field-by-field without dry
+        b = self.repetition.shape[0]
+        if self.dry_multiplier is None:
+            object.__setattr__(
+                self, "dry_multiplier", jnp.zeros((b,), jnp.float32)
+            )
+        if self.dry_base is None:
+            object.__setattr__(
+                self, "dry_base", jnp.full((b,), 1.75, jnp.float32)
+            )
+        if self.dry_allowed is None:
+            object.__setattr__(
+                self, "dry_allowed", jnp.full((b,), 2, jnp.int32)
+            )
 
     @classmethod
     def make(
@@ -57,16 +82,25 @@ class PenaltyParams:
         repetition: float = 1.0,
         presence: float = 0.0,
         frequency: float = 0.0,
+        dry_multiplier: float = 0.0,
+        dry_base: float = 1.75,
+        dry_allowed: int = 2,
     ) -> "PenaltyParams":
         return cls(
             repetition=jnp.full((batch,), repetition, jnp.float32),
             presence=jnp.full((batch,), presence, jnp.float32),
             frequency=jnp.full((batch,), frequency, jnp.float32),
+            dry_multiplier=jnp.full((batch,), dry_multiplier, jnp.float32),
+            dry_base=jnp.full((batch,), dry_base, jnp.float32),
+            dry_allowed=jnp.full((batch,), dry_allowed, jnp.int32),
         )
 
     def at(self, idx: int, **kw) -> "PenaltyParams":
         out = {}
-        for f in ("repetition", "presence", "frequency"):
+        for f in (
+            "repetition", "presence", "frequency",
+            "dry_multiplier", "dry_base", "dry_allowed",
+        ):
             v = getattr(self, f)
             if f in kw:
                 v = v.at[idx].set(kw[f])
@@ -176,6 +210,10 @@ class EngineCore:
         logits = repetition_penalty(logits, history, penalties.repetition)
         logits = presence_frequency_penalty(
             logits, history, penalties.presence, penalties.frequency
+        )
+        logits = dry_penalty(
+            logits, history, penalties.dry_multiplier,
+            penalties.dry_base, penalties.dry_allowed,
         )
         if allowed_mask is not None:
             logits = jnp.where(allowed_mask, logits, -1e30)

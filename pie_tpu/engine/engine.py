@@ -146,6 +146,8 @@ class InferenceEngine:
             top_p=float(kw.get("top_p", 1.0)),
             min_p=float(kw.get("min_p", 0.0)),
             top_k=int(kw.get("top_k", -1)),
+            xtc_probability=float(kw.get("xtc_probability", 0.0)),
+            xtc_threshold=float(kw.get("xtc_threshold", 0.1)),
         )
 
     def _penalties(self, kw: dict[str, Any]) -> PenaltyParams:
@@ -154,6 +156,9 @@ class InferenceEngine:
             repetition=float(kw.get("repetition_penalty", 1.0)),
             presence=float(kw.get("presence_penalty", 0.0)),
             frequency=float(kw.get("frequency_penalty", 0.0)),
+            dry_multiplier=float(kw.get("dry_multiplier", 0.0)),
+            dry_base=float(kw.get("dry_base", 1.75)),
+            dry_allowed=int(kw.get("dry_allowed_length", 2)),
         )
 
     def _bias(self, kw) -> tuple[jax.Array, jax.Array]:
@@ -654,6 +659,7 @@ class InferenceEngine:
             return sampler_kind_for(
                 kw.get("temperature", 1.0), kw.get("top_p", 1.0),
                 kw.get("min_p", 0.0), kw.get("top_k", -1),
+                kw.get("xtc_probability", 0.0),
             )
 
         skind = host_kind(kwargs)

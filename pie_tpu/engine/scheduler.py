@@ -45,6 +45,7 @@ from pie_tpu.engine.core import PAD_TOKEN
 from pie_tpu.ops.sampling import (
     SamplingParams,
     apply_logit_bias,
+    dry_penalty,
     presence_frequency_penalty,
     repetition_penalty,
     sample,
@@ -77,6 +78,14 @@ class Sequence:
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # XTC sampler + DRY sequence-repetition penalty (both are 0-byte
+    # placeholders in the reference, samplers/xtc.py / samplers/dry.py;
+    # real implementations live in ops/sampling.py)
+    xtc_probability: float = 0.0
+    xtc_threshold: float = 0.1
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
     # sparse per-request logit bias {token_id: bias} (reference C++
     # LogitsParams logit_bias map, include/sequence/logits_params.hpp:11-17)
     logit_bias: dict = dataclasses.field(default_factory=dict)
@@ -206,16 +215,21 @@ class PagedEngine:
         return logits[0, last_idx], pool
 
     def _sample_first_impl(self, logits, sampling, penalties, history, key):
+        """penalties: a PenaltyParams pytree (batch 1)."""
         logits = logits[None]
-        logits = repetition_penalty(logits, history, penalties[0])
+        logits = repetition_penalty(logits, history, penalties.repetition)
         logits = presence_frequency_penalty(
-            logits, history, penalties[1], penalties[2]
+            logits, history, penalties.presence, penalties.frequency
+        )
+        logits = dry_penalty(
+            logits, history, penalties.dry_multiplier,
+            penalties.dry_base, penalties.dry_allowed,
         )
         return sample(logits, sampling, key)[0]
 
     def _decode_impl(self, params, pool, last_tokens, context_lens,
-                     block_tables, histories, sampling, pen_rep, pen_pres,
-                     pen_freq, active, key, allowed_mask=None,
+                     block_tables, histories, sampling, pen,
+                     active, key, allowed_mask=None,
                      mask_valid=None, sampler_kind="auto",
                      use_mask: bool = False):
         """One batched decode step over all lanes. Inactive lanes compute
@@ -233,8 +247,14 @@ class PagedEngine:
             safe_lens,
         )
         logits = logits[:, 0]
-        logits = repetition_penalty(logits, histories, pen_rep)
-        logits = presence_frequency_penalty(logits, histories, pen_pres, pen_freq)
+        logits = repetition_penalty(logits, histories, pen.repetition)
+        logits = presence_frequency_penalty(
+            logits, histories, pen.presence, pen.frequency
+        )
+        logits = dry_penalty(
+            logits, histories, pen.dry_multiplier, pen.dry_base,
+            pen.dry_allowed,
+        )
         if use_mask:
             logits = jnp.where(
                 mask_valid[:, None] & ~allowed_mask, -1e30, logits
@@ -254,7 +274,7 @@ class PagedEngine:
         produced,  # [B] int32 tokens generated so far
         max_new,  # [B] int32 per-lane budget
         stop_ids,  # [B, S] int32 (-1 pad)
-        sampling, pen_rep, pen_pres, pen_freq,  # [B] param arrays
+        sampling, pen,  # SamplingParams / PenaltyParams pytrees [B]
         pf_ids_steps,  # [N, Cs] prefill rider tokens per step (-1 pad)
         pf_pos_steps,  # [N, Cs]
         pf_lane_steps,  # [N] lane whose table each step's rider uses
@@ -342,9 +362,13 @@ class PagedEngine:
                     **({"pos_delta": pos_delta} if mrope else {}),
                 )
                 logits = logits[:, 0]
-            logits = repetition_penalty(logits, hist, pen_rep)
+            logits = repetition_penalty(logits, hist, pen.repetition)
             logits = presence_frequency_penalty(
-                logits, hist, pen_pres, pen_freq
+                logits, hist, pen.presence, pen.frequency
+            )
+            logits = dry_penalty(
+                logits, hist, pen.dry_multiplier, pen.dry_base,
+                pen.dry_allowed,
             )
             if use_bias:
                 logits = apply_logit_bias(logits, bias_ids, bias_vals)
@@ -450,11 +474,16 @@ class Scheduler:
             "top_p": np.ones((b,), np.float32),
             "min_p": np.zeros((b,), np.float32),
             "top_k": np.full((b,), -1, np.int32),
+            "xtc_probability": np.zeros((b,), np.float32),
+            "xtc_threshold": np.full((b,), 0.1, np.float32),
         }
         self.pen = {
             "repetition": np.ones((b,), np.float32),
             "presence": np.zeros((b,), np.float32),
             "frequency": np.zeros((b,), np.float32),
+            "dry_multiplier": np.zeros((b,), np.float32),
+            "dry_base": np.full((b,), 1.75, np.float32),
+            "dry_allowed": np.full((b,), 2, np.int32),
         }
         self.max_bias = 16
         self.bias_ids = np.full((b, self.max_bias), -1, np.int32)
@@ -486,6 +515,18 @@ class Scheduler:
             seq.seq_id = next(self._ids)
         self.waiting.append(seq)
         return seq.seq_id
+
+    def _pen_params(self):
+        from pie_tpu.engine.core import PenaltyParams
+
+        return PenaltyParams(
+            repetition=jnp.asarray(self.pen["repetition"]),
+            presence=jnp.asarray(self.pen["presence"]),
+            frequency=jnp.asarray(self.pen["frequency"]),
+            dry_multiplier=jnp.asarray(self.pen["dry_multiplier"]),
+            dry_base=jnp.asarray(self.pen["dry_base"]),
+            dry_allowed=jnp.asarray(self.pen["dry_allowed"]),
+        )
 
     def add_request(self, prompt_ids, **kw) -> Sequence:
         seq = Sequence(seq_id=next(self._ids), prompt_ids=list(prompt_ids), **kw)
@@ -646,12 +687,15 @@ class Scheduler:
         skind = sampler_kind_for(
             self.samp["temperature"][lanes], self.samp["top_p"][lanes],
             self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+            self.samp["xtc_probability"][lanes],
         )
         sampling = SamplingParams(
             temperature=jnp.asarray(self.samp["temperature"]),
             top_p=jnp.asarray(self.samp["top_p"]),
             min_p=jnp.asarray(self.samp["min_p"]),
             top_k=jnp.asarray(self.samp["top_k"]),
+            xtc_probability=jnp.asarray(self.samp["xtc_probability"]),
+            xtc_threshold=jnp.asarray(self.samp["xtc_threshold"]),
         )
         if self._dev_state is not None:
             last, ctx, hist, done, prod = self._dev_state
@@ -667,9 +711,7 @@ class Scheduler:
             jnp.asarray(self.block_tables), hist, done, prod,
             jnp.asarray(self.max_new), jnp.asarray(self.stop_ids),
             sampling,
-            jnp.asarray(self.pen["repetition"]),
-            jnp.asarray(self.pen["presence"]),
-            jnp.asarray(self.pen["frequency"]),
+            self._pen_params(),
             jnp.full((n, cs), -1, jnp.int32),
             jnp.full((n, cs), -1, jnp.int32),
             jnp.zeros((n,), jnp.int32),
@@ -766,12 +808,15 @@ class Scheduler:
         skind = sampler_kind_for(
             self.samp["temperature"][lanes], self.samp["top_p"][lanes],
             self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+            self.samp["xtc_probability"][lanes],
         )
         sampling = SamplingParams(
             temperature=jnp.asarray(self.samp["temperature"]),
             top_p=jnp.asarray(self.samp["top_p"]),
             min_p=jnp.asarray(self.samp["min_p"]),
             top_k=jnp.asarray(self.samp["top_k"]),
+            xtc_probability=jnp.asarray(self.samp["xtc_probability"]),
+            xtc_threshold=jnp.asarray(self.samp["xtc_threshold"]),
         )
         last, ctx, hist, done, prod = self._dev_state
         cs = e.rider_width
@@ -780,9 +825,7 @@ class Scheduler:
             jnp.asarray(self.block_tables), hist, done, prod,
             jnp.asarray(self.max_new), jnp.asarray(self.stop_ids),
             sampling,
-            jnp.asarray(self.pen["repetition"]),
-            jnp.asarray(self.pen["presence"]),
-            jnp.asarray(self.pen["frequency"]),
+            self._pen_params(),
             jnp.full((n, cs), -1, jnp.int32),
             jnp.full((n, cs), -1, jnp.int32),
             jnp.zeros((n,), jnp.int32),
@@ -978,9 +1021,14 @@ class Scheduler:
             self.samp["top_p"][lane] = seq.top_p
             self.samp["min_p"][lane] = seq.min_p
             self.samp["top_k"][lane] = seq.top_k
+            self.samp["xtc_probability"][lane] = seq.xtc_probability
+            self.samp["xtc_threshold"][lane] = seq.xtc_threshold
             self.pen["repetition"][lane] = seq.repetition_penalty
             self.pen["presence"][lane] = seq.presence_penalty
             self.pen["frequency"][lane] = seq.frequency_penalty
+            self.pen["dry_multiplier"][lane] = seq.dry_multiplier
+            self.pen["dry_base"][lane] = seq.dry_base
+            self.pen["dry_allowed"][lane] = seq.dry_allowed_length
             self.bias_ids[lane] = -1
             self.bias_vals[lane] = 0.0
             self.pos_delta[lane] = seq.pos_delta
@@ -1205,6 +1253,7 @@ class Scheduler:
             skind = sampler_kind_for(
                 self.samp["temperature"][lanes], self.samp["top_p"][lanes],
                 self.samp["min_p"][lanes], self.samp["top_k"][lanes],
+                self.samp["xtc_probability"][lanes],
             )
         else:
             skind = "greedy"
@@ -1213,6 +1262,8 @@ class Scheduler:
             top_p=jnp.asarray(self.samp["top_p"]),
             min_p=jnp.asarray(self.samp["min_p"]),
             top_k=jnp.asarray(self.samp["top_k"]),
+            xtc_probability=jnp.asarray(self.samp["xtc_probability"]),
+            xtc_threshold=jnp.asarray(self.samp["xtc_threshold"]),
         )
         (emitted, e.pool, last, ctx, hist, done, prod, e.key) = e._chunk(
             e.params,
@@ -1226,9 +1277,7 @@ class Scheduler:
             jnp.asarray(self.max_new),
             jnp.asarray(self.stop_ids),
             sampling,
-            jnp.asarray(self.pen["repetition"]),
-            jnp.asarray(self.pen["presence"]),
-            jnp.asarray(self.pen["frequency"]),
+            self._pen_params(),
             jnp.asarray(plan["pf_ids"]),
             jnp.asarray(plan["pf_pos"]),
             jnp.asarray(plan["pf_lane"]),

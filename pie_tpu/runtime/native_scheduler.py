@@ -441,6 +441,8 @@ class NativeScheduler:
                 min_p=jnp.asarray(core.min_p),
                 top_k=jnp.asarray(core.top_k),
             )
+            from pie_tpu.engine.core import PenaltyParams
+
             tokens, e.pool, e.key = e._decode(
                 e.params, e.pool,
                 jnp.asarray(core.last_tokens),
@@ -448,9 +450,11 @@ class NativeScheduler:
                 jnp.asarray(core.block_tables),
                 jnp.asarray(core.histories),
                 sampling,
-                jnp.asarray(core.rep_pen),
-                jnp.asarray(core.presence),
-                jnp.asarray(core.frequency),
+                PenaltyParams(
+                    repetition=jnp.asarray(core.rep_pen),
+                    presence=jnp.asarray(core.presence),
+                    frequency=jnp.asarray(core.frequency),
+                ),
                 jnp.asarray(act),
                 e.key,
                 allowed_mask=jnp.asarray(allowed),
@@ -503,10 +507,12 @@ class NativeScheduler:
             min_p=jnp.asarray(core.min_p[s]),
             top_k=jnp.asarray(core.top_k[s]),
         )
-        pen = (
-            jnp.asarray(core.rep_pen[s]),
-            jnp.asarray(core.presence[s]),
-            jnp.asarray(core.frequency[s]),
+        from pie_tpu.engine.core import PenaltyParams
+
+        pen = PenaltyParams(
+            repetition=jnp.asarray(core.rep_pen[s]),
+            presence=jnp.asarray(core.presence[s]),
+            frequency=jnp.asarray(core.frequency[s]),
         )
         e.key, sub = jax.random.split(e.key)
         return int(e._sample_first(

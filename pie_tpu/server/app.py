@@ -49,6 +49,18 @@ def _gen_kwargs(req) -> dict[str, Any]:
         kw["frequency_penalty"] = req.frequency_penalty
     if getattr(req, "repetition_penalty", None):
         kw["repetition_penalty"] = req.repetition_penalty
+    # non-standard extensions the reference stubbed (samplers/xtc.py,
+    # samplers/dry.py are 0-byte placeholders there)
+    if getattr(req, "xtc_probability", None):
+        kw["xtc_probability"] = req.xtc_probability
+    if getattr(req, "xtc_threshold", None) is not None:
+        kw["xtc_threshold"] = req.xtc_threshold
+    if getattr(req, "dry_multiplier", None):
+        kw["dry_multiplier"] = req.dry_multiplier
+    if getattr(req, "dry_base", None) is not None:
+        kw["dry_base"] = req.dry_base
+    if getattr(req, "dry_allowed_length", None) is not None:
+        kw["dry_allowed_length"] = req.dry_allowed_length
     if getattr(req, "logit_bias", None):
         kw["logit_bias"] = {int(k): v for k, v in req.logit_bias.items()}
     return kw

@@ -125,6 +125,12 @@ class ChatCompletionRequest(BaseModel):
     top_p: Optional[float] = 1.0
     top_k: Optional[int] = None  # non-standard (reference request.py:84-166)
     min_p: Optional[float] = None  # non-standard
+    # XTC sampler + DRY penalty (reference ships 0-byte placeholders)
+    xtc_probability: Optional[float] = None
+    xtc_threshold: Optional[float] = None
+    dry_multiplier: Optional[float] = None
+    dry_base: Optional[float] = None
+    dry_allowed_length: Optional[int] = None
     max_tokens: Optional[int] = None
     max_completion_tokens: Optional[int] = None
     n: int = 1
@@ -230,6 +236,11 @@ class CompletionRequest(BaseModel):
     top_p: Optional[float] = 1.0
     top_k: Optional[int] = None
     min_p: Optional[float] = None
+    xtc_probability: Optional[float] = None
+    xtc_threshold: Optional[float] = None
+    dry_multiplier: Optional[float] = None
+    dry_base: Optional[float] = None
+    dry_allowed_length: Optional[int] = None
     n: int = 1
     best_of: Optional[int] = None
     stream: bool = False
